@@ -1,13 +1,204 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.ops.{Core, Relational}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is one operator/capability from SURVEY.md §2;
+  * [[oracleSql]] carries the DuckDB-equivalent SQL for the driver's t2
+  * correctness gate. Column names and value types are aligned on both sides
+  * (aggregates computed in exact DECIMAL then cast to DOUBLE) so the
+  * driver's sorted-column value hash matches bit-for-bit.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2b parity queries (the reference's own workloads, Spark-native)
+    "wc_shell" -> (Core.wordCountTr _),
+    "wc_python" -> (Core.wordCountWs _),
+    "grep" -> ((s, d) => Core.grep(s, d, "spark")),
+    "pipe_cat" -> (Core.pipeCatCount _),
+    // §2c relational catalogue
+    "q1_pricing" -> (Relational.q1PricingSummary _),
+    "q_filter_project" -> (Relational.qFilterProject _),
+    "q_join_nation_revenue" -> (Relational.qJoinNationRevenue _),
+    "q_join_left" -> (Relational.qJoinLeft _),
+    "q_join_semi" -> (Relational.qJoinSemi _),
+    "q_join_anti" -> (Relational.qJoinAnti _),
+    "q_distinct" -> (Relational.qDistinct _),
+    "q_topk_customers" -> (Relational.qTopKCustomers _),
+    "q_window_rank" -> (Relational.qWindowRank _),
+    "q_window_lag" -> (Relational.qWindowLag _),
+    "q_window_running" -> (Relational.qWindowRunning _),
+    "q_rollup" -> (Relational.qRollup _),
+    "q_cube" -> (Relational.qCube _),
+    "q_union" -> (Relational.qUnion _),
+    "q_intersect" -> (Relational.qIntersect _),
+    "q_except" -> (Relational.qExcept _),
+    "q_string_funcs" -> (Relational.qStringFuncs _),
+    "q_date_funcs" -> (Relational.qDateFuncs _),
+    "q_math_funcs" -> (Relational.qMathFuncs _),
+    "q_json_events" -> (Relational.qJsonEvents _),
+    "q_count_distinct" -> (Relational.qCountDistinct _),
+    "q_approx_distinct" -> (Relational.qApproxDistinct _),
+  )
+
+  /** DuckDB-runnable ANSI SQL twin for each query (driver t2 gate).
+    * Omitted keys (sketches, pipes with no SQL equivalent) get the
+    * driver's weaker rows-only check.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "wc_shell" ->
+      """SELECT w AS word, COUNT(*) AS cnt
+        |FROM (SELECT unnest(regexp_split_to_array(lower(text), '[ \t\n]')) AS w
+        |      FROM documents)
+        |GROUP BY w ORDER BY word""".stripMargin,
+    "wc_python" ->
+      """SELECT w AS word, COUNT(*) AS cnt
+        |FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS w
+        |      FROM documents)
+        |WHERE w <> '' GROUP BY w ORDER BY word""".stripMargin,
+    "grep" ->
+      """SELECT doc_id, text FROM documents
+        |WHERE lower(text) LIKE '%spark%' ORDER BY text, doc_id""".stripMargin,
+    "pipe_cat" ->
+      """SELECT l_returnflag AS flag, COUNT(*) AS cnt
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_quantity > 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_join_nation_revenue" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q_join_left" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+        |  COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 0.0) AS total_spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_anti" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_distinct" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    "q_topk_customers" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_name
+        |ORDER BY revenue DESC, c_custkey ASC LIMIT 10""".stripMargin,
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q_window_lag" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_price
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+        |  COUNT(*) AS n_orders
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_union" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |UNION
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+        |ORDER BY c_custkey""".stripMargin,
+    "q_intersect" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        |ORDER BY c_custkey""".stripMargin,
+    "q_except" ->
+      """SELECT c_custkey FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY c_custkey""".stripMargin,
+    "q_string_funcs" ->
+      """SELECT p_partkey,
+        |  upper(p_brand) AS brand_u,
+        |  length(p_name) AS name_len,
+        |  substring(p_type, 1, 5) AS type_pfx,
+        |  regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+        |  concat_ws('/', p_brand, p_type) AS brand_type,
+        |  regexp_replace(p_name, '[aeiou]', '', 'g') AS no_vowels
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(month(o_orderdate) AS BIGINT) AS mo,
+        |  CAST(day(o_orderdate) AS BIGINT) AS dom,
+        |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        |  strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS due_date
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_math_funcs" ->
+      """SELECT l_orderkey,
+        |  sqrt(l_quantity) AS qty_sqrt,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+        |  abs(l_discount - 0.05) AS disc_dev,
+        |  l_orderkey % 7 AS key_mod,
+        |  l_quantity * l_quantity AS qty_sq
+        |FROM lineitem WHERE l_linenumber = 1 ORDER BY l_orderkey""".stripMargin,
+    "q_json_events" ->
+      """SELECT event_type,
+        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max,
+        |  COUNT(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_count_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+  )
 }
