@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Core, Relational}
+import graft.ops.{Core, Dedup, Events, Multimodal, Relational, Sim, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -48,6 +48,29 @@ object SparkEntry {
     "q_json_events" -> (Relational.qJsonEvents _),
     "q_count_distinct" -> (Relational.qCountDistinct _),
     "q_approx_distinct" -> (Relational.qApproxDistinct _),
+    // text analysis (documents)
+    "q_text_stats" -> (Text.qTextStats _),
+    "q_lang_id" -> (Text.qLangId _),
+    "q_quality" -> (Text.qQuality _),
+    "q_token_count" -> (Text.qTokenCount _),
+    "q_fingerprint" -> (Text.qFingerprint _),
+    // dedup
+    "q_dedup_exact" -> (Dedup.qDedupExact _),
+    "q_dedup_minhash" -> (Dedup.qDedupMinhash _),
+    "q_dedup_jaccard" -> (Dedup.qDedupJaccard _),
+    "q_dedup_simhash" -> (Dedup.qDedupSimhash _),
+    "q_dedup_embed" -> (Dedup.qDedupEmbed _),
+    // similarity search (embeddings)
+    "q_sim_topk" -> (Sim.qSimTopK _),
+    "q_sim_lsh" -> (Sim.qSimLsh _),
+    "q_sim_label_coherence" -> (Sim.qSimLabelCoherence _),
+    // event-time (events)
+    "q_event_tumbling" -> (Events.qEventTumbling _),
+    "q_event_sessions" -> (Events.qEventSessions _),
+    "q_event_asof" -> (Events.qEventAsof _),
+    // multimodal plumbing
+    "q_mm_meta" -> (Multimodal.qMmMeta _),
+    "q_mm_features" -> (Multimodal.qMmFeatures _),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver t2 gate).
@@ -200,5 +223,6 @@ object SparkEntry {
         |  COUNT(DISTINCT l_partkey) AS n_parts,
         |  COUNT(DISTINCT l_suppkey) AS n_supps
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-  )
+  ) ++ Text.oracles ++ Dedup.oracles ++ Sim.oracles ++ Events.oracles ++
+    Multimodal.oracles
 }

@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: opaque binary payloads + typed metadata,
+  * with a feature-extraction stage over `mapPartitions`.
+  *
+  * The container has no image/audio codecs, so the *decode* step is a
+  * clearly-marked deterministic STUB (see [[FakeDecoder]]); everything
+  * Spark-side — binary columns in parquet, metadata structs, batch shape,
+  * per-partition extraction, schema of the feature output — is real. A
+  * production decoder (JNI/ONNX/whatever) replaces ONE function body
+  * without touching the pipeline.
+  *
+  * Scale: binary payloads ride the same columnar scan as everything else;
+  * feature extraction is mapPartitions (no shuffle), so it parallelizes
+  * per input split, and the feature table writes back partitioned by the
+  * metadata columns for pruning.
+  */
+object Multimodal {
+
+  final case class MediaRow(doc_id: Long, payload: Array[Byte],
+    lang: String, n_chars: Long)
+  final case class MediaFeatures(doc_id: Long, byte_len: Long,
+    byte_sum_mod: Long, head_hex: String, feat: Array[Float])
+
+  /** documents → (doc_id, payload BINARY, meta struct). In production the
+    * payload column would hold encoded image/audio bytes read from parquet;
+    * here the utf-8 text bytes stand in, exercising the identical plumbing.
+    */
+  def binarize(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"),
+        struct(col("lang"), col("n_chars"), col("source")).as("meta"))
+  }
+
+  /** STUB decoder: a real implementation would decode the payload
+    * (image/audio) and emit model features. This fake derives
+    * deterministic pseudo-features from the raw bytes so the pipeline is
+    * testable end-to-end. Replace the body, keep the signature.
+    */
+  object FakeDecoder {
+    def features(payload: Array[Byte], dim: Int = 8): Array[Float] = {
+      // ??? <- real decode (e.g. JPEG -> pixels -> CNN features) goes here
+      val out = new Array[Float](dim)
+      var i = 0
+      while (i < payload.length) {
+        out(i % dim) += (payload(i) & 0xff) / 255.0f
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Per-partition feature extraction over the binary payloads — the
+    * mapPartitions batch shape a GPU/codec UDF would use (amortized
+    * per-partition init, streaming iterator, no per-row setup).
+    */
+  def extractFeatures(spark: SparkSession, dir: String): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    binarize(spark, dir)
+      .select(col("doc_id"), col("payload"),
+        col("meta.lang").as("lang"), col("meta.n_chars").as("n_chars"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        // per-partition init of the (stub) decoder happens once here
+        rows.map { r =>
+          val f = FakeDecoder.features(r.payload)
+          val sum = r.payload.foldLeft(0L)((a, b) => a + (b & 0xff))
+          MediaFeatures(r.doc_id, r.payload.length.toLong, sum % 997,
+            r.payload.take(4).map(b => f"${b & 0xff}%02x").mkString, f)
+        }
+      }
+  }
+
+  /** Oracle-checkable metadata slice of the multimodal pipeline: byte
+    * lengths, first byte, payload digest — everything DuckDB can compute
+    * on the same bytes.
+    */
+  def qMmMeta(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        length(col("text").cast("binary")).cast("long").as("byte_len"),
+        ascii(substring(col("text"), 1, 1)).cast("long").as("first_byte"),
+        md5(col("text").cast("binary")).as("payload_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Feature extraction as a driver-checkable query (rows-only gate: the
+    * stub features have no SQL equivalent, but determinism is asserted in
+    * the ScalaTest spec).
+    */
+  def qMmFeatures(spark: SparkSession, dir: String): DataFrame = {
+    extractFeatures(spark, dir)
+      .select(col("doc_id"), col("byte_len"), col("byte_sum_mod"),
+        col("head_hex"))
+      .orderBy("doc_id")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_mm_meta" ->
+      """SELECT doc_id,
+        |  octet_length(encode(text)) AS byte_len,
+        |  CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS first_byte,
+        |  md5(text) AS payload_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,151 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (ArrayType(FloatType)).
+  *
+  * Two paths:
+  *  - brute-force cosine top-k — the exact baseline; a single narrow pass,
+  *    ranked with TakeOrderedAndProject (per-partition top-k, no full sort);
+  *  - sign-bit LSH buckets — the scale path: candidates restricted to the
+  *    query's bucket, so a 1000-executor scan only touches ~1/2^bits of the
+  *    corpus per probe. The bucket id is a plain string column, so at rest
+  *    the table can be partitioned/bucketed by it for pruning.
+  *
+  * Cosine math is double-precision, left-to-right accumulation, mirrored
+  * exactly in the DuckDB oracles; outputs round to 6 decimals so the last
+  * ulp of engine-specific summation order cannot flip the hash compare.
+  */
+object Sim {
+
+  /** 4-sign-bit LSH bucket over dims 1..4 (1-based, matching DuckDB). */
+  def bucketExpr: Column = expr(
+    """concat(CASE WHEN element_at(embedding, 1) > 0 THEN '1' ELSE '0' END,
+      |       CASE WHEN element_at(embedding, 2) > 0 THEN '1' ELSE '0' END,
+      |       CASE WHEN element_at(embedding, 3) > 0 THEN '1' ELSE '0' END,
+      |       CASE WHEN element_at(embedding, 4) > 0 THEN '1' ELSE '0' END)"""
+      .stripMargin)
+
+  /** L2 norm as double, left-to-right accumulation. */
+  def normExpr(emb: Column): Column =
+    sqrt(aggregate(transform(emb, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  /** Cosine from precomputed norms: dot(a,b)/(na*nb). */
+  def cosineFromParts(a: Column, b: Column, na: Column, nb: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v) / (na * nb)
+
+  /** Brute-force cosine top-10 for the query vector vec_id = 0. */
+  def qSimTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).withColumn("nrm", normExpr(col("embedding")))
+    val q = broadcast(e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"), col("nrm").as("q_nrm")))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(q)
+      .withColumn("cos",
+        cosineFromParts(col("embedding"), col("q_emb"), col("nrm"), col("q_nrm")))
+      .select(col("vec_id"), round(col("cos"), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  /** LSH-bucketed ANN: probe only the query's sign-bit bucket, top 5.
+    * Same ranking semantics as brute force, restricted to the bucket.
+    */
+  def qSimLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("bucket", bucketExpr)
+      .withColumn("nrm", normExpr(col("embedding")))
+    val q = broadcast(e.filter(col("vec_id") === 0)
+      .select(col("bucket").as("q_bucket"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm")))
+    e.filter(col("vec_id") =!= 0)
+      .join(q, col("bucket") === col("q_bucket"))
+      .withColumn("cos",
+        cosineFromParts(col("embedding"), col("q_emb"), col("nrm"), col("q_nrm")))
+      .select(col("vec_id"), round(col("cos"), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(5)
+  }
+
+  /** Per-label centroid-free cluster stats: mean pairwise-free proxy —
+    * average cosine of each vector against the label's mean vector.
+    * Demonstrates array aggregation (element-wise mean via posexplode)
+    * scaling as one shuffle on (label, pos).
+    */
+  def qSimLabelCoherence(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val centroids = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(col("x").cast("double")) / count(lit(1))).as("m"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
+        .as("centroid"))
+    e.join(broadcast(centroids), "label")
+      .withColumn("cos", cosineFromParts(
+        col("embedding"), col("centroid"),
+        normExpr(col("embedding")), normExpr(col("centroid"))))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("cos")), 6).as("avg_coherence"))
+      .orderBy("label")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_sim_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings)
+        |SELECT b.vec_id,
+        |  round(list_sum(list_transform(list_zip(b.embedding, q.embedding),
+        |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |    / (b.nrm * q.nrm), 6) AS cos_sim
+        |FROM e b, e q WHERE q.vec_id = 0 AND b.vec_id <> 0
+        |ORDER BY cos_sim DESC, b.vec_id ASC LIMIT 10""".stripMargin,
+    "q_sim_lsh" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    concat(CASE WHEN embedding[1] > 0 THEN '1' ELSE '0' END,
+        |           CASE WHEN embedding[2] > 0 THEN '1' ELSE '0' END,
+        |           CASE WHEN embedding[3] > 0 THEN '1' ELSE '0' END,
+        |           CASE WHEN embedding[4] > 0 THEN '1' ELSE '0' END) AS bucket,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings)
+        |SELECT b.vec_id,
+        |  round(list_sum(list_transform(list_zip(b.embedding, q.embedding),
+        |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |    / (b.nrm * q.nrm), 6) AS cos_sim
+        |FROM e b, e q
+        |WHERE q.vec_id = 0 AND b.vec_id <> 0 AND b.bucket = q.bucket
+        |ORDER BY cos_sim DESC, b.vec_id ASC LIMIT 5""".stripMargin,
+    "q_sim_label_coherence" ->
+      """WITH m AS (
+        |  SELECT label, pos,
+        |    CAST(SUM(CAST(x AS DOUBLE)) AS DOUBLE) / COUNT(*) AS m
+        |  FROM (SELECT label, unnest(embedding) AS x,
+        |          CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos
+        |        FROM embeddings)
+        |  GROUP BY label, pos),
+        |c AS (
+        |  SELECT label, list(m ORDER BY pos) AS centroid FROM m GROUP BY label),
+        |j AS (
+        |  SELECT e.label,
+        |    list_sum(list_transform(list_zip(e.embedding, c.centroid),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(e.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(c.centroid,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        |  FROM embeddings e JOIN c ON e.label = c.label)
+        |SELECT label, COUNT(*) AS n_vecs, round(AVG(cos), 6) AS avg_coherence
+        |FROM j GROUP BY label ORDER BY label""".stripMargin,
+  )
+}

@@ -1,0 +1,176 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators over the `documents` table — the pieces a
+  * large-scale training-data pipeline runs before anything else: corpus
+  * stats, language ID, quality scoring, token counting, fingerprinting.
+  *
+  * Everything here is per-row narrow transformation + one aggregate, so it
+  * scales linearly: no joins, no data-dependent shuffles beyond the final
+  * groupBy. All expressions are Spark builtins (whole-stage codegen'd) —
+  * no UDFs on the hot path.
+  */
+object Text {
+
+  /** Corpus statistics by language tag. */
+  def qTextStats(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ", -1)).cast("long"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+        sum(col("n_tokens")).as("total_tokens"))
+      .orderBy("lang")
+  }
+
+  private val stopEn = Seq("the", "a", "of", "and", "to", "in", "is")
+  private val stopDe = Seq("der", "die", "das", "und", "ist", "ein")
+  private val stopFr = Seq("le", "la", "les", "et", "est", "un")
+  private val stopEs = Seq("el", "los", "las", "y", "es", "un")
+
+  private def inList(xs: Seq[String]): String =
+    xs.map(s => s"'$s'").mkString("(", ", ", ")")
+
+  /** Stopword-count expression: tokens of `text` that belong to `xs`. */
+  private def stopScore(xs: Seq[String]): String =
+    s"CAST(size(filter(split(lower(text), ' ', -1), t -> t IN ${inList(xs)})) AS BIGINT)"
+
+  /** N-gram-free language ID heuristic: count language-specific stopwords
+    * and pick the max (ties resolved in a fixed en>de>fr>es order). On this
+    * synthetic corpus everything is English-ish — the point is the
+    * *operator* (deterministic, oracle-checkable scoring), not model
+    * quality; a real model would slot into the same per-row shape.
+    */
+  def qLangId(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .withColumn("s_en", expr(stopScore(stopEn)))
+      .withColumn("s_de", expr(stopScore(stopDe)))
+      .withColumn("s_fr", expr(stopScore(stopFr)))
+      .withColumn("s_es", expr(stopScore(stopEs)))
+      .withColumn("detected", expr(
+        """CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+          |     WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+          |     WHEN s_fr >= s_es THEN 'fr'
+          |     ELSE 'es' END""".stripMargin))
+      .select(col("doc_id"), col("detected"),
+        col("s_en"), col("s_de"), col("s_fr"), col("s_es"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: token count, mean token length, stopword ratio,
+    * punctuation ratio, and a composite score with a keep/drop flag —
+    * the standard heuristic pre-filter shape (C4/Gopher-style rules).
+    * The score expression tree is identical on the oracle side, so the
+    * doubles match bit-for-bit.
+    */
+  def qQuality(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ", -1)).cast("long"))
+      .withColumn("n_stop", expr(stopScore(stopEn)))
+      .withColumn("n_punct",
+        length(regexp_replace(col("text"), "[^.!?,;:]", "")).cast("long"))
+      .withColumn("avg_token_len",
+        length(regexp_replace(col("text"), " ", "")).cast("double")
+          / col("n_tokens"))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
+      .withColumn("punct_ratio",
+        col("n_punct").cast("double") / col("n_chars"))
+      .withColumn("quality_score",
+        col("stop_ratio") * 0.5 + (lit(1.0) - col("punct_ratio")) * 0.3
+          + when(col("n_tokens") >= 20 && col("n_tokens") <= 1000, 0.2)
+            .otherwise(0.0))
+      .withColumn("keep", (col("quality_score") > 0.25) && col("n_tokens") >= 10)
+      .select(col("doc_id"), col("n_tokens"), col("n_stop"),
+        col("avg_token_len"), col("stop_ratio"), col("punct_ratio"),
+        col("quality_score"), col("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Token counting three ways: whitespace tokens, alpha "BPE-ish" regex
+    * tokens, and the chars/4 LLM-token estimate.
+    */
+  def qTokenCount(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        expr("CAST(size(filter(split(text, '\\\\s+', -1), t -> t <> '')) AS BIGINT)")
+          .as("ws_tokens"),
+        expr("CAST(size(regexp_extract_all(text, '[a-z]+', 0)) AS BIGINT)")
+          .as("alpha_tokens"),
+        ceil(length(col("text")) / 4.0).cast("long").as("est_llm_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Normalized-content fingerprint (md5 of lowercased alphanumerics) —
+    * the exact-dedup key. Emitted per document; exact duplicates share a
+    * fingerprint.
+    */
+  def qFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(regexp_replace(lower(col("text")), "[^a-z0-9]", "")
+          .cast("binary")).as("fp"))
+      .orderBy("doc_id")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_text_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+        |  CAST(SUM(n_chars) AS DOUBLE)/COUNT(*) AS avg_chars,
+        |  SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS total_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_lang_id" -> {
+      def sc(xs: Seq[String]) =
+        s"CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN ${xs.map(s => s"'$s'").mkString("(", ", ", ")")})) AS BIGINT)"
+      s"""SELECT doc_id,
+         |  CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+         |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+         |       WHEN s_fr >= s_es THEN 'fr'
+         |       ELSE 'es' END AS detected,
+         |  s_en, s_de, s_fr, s_es
+         |FROM (SELECT doc_id, ${sc(stopEn)} AS s_en, ${sc(stopDe)} AS s_de,
+         |             ${sc(stopFr)} AS s_fr, ${sc(stopEs)} AS s_es
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    },
+    "q_quality" -> {
+      val sc = s"CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN ${stopEn.map(s => s"'$s'").mkString("(", ", ", ")")})) AS BIGINT)"
+      s"""SELECT doc_id, n_tokens, n_stop, avg_token_len, stop_ratio, punct_ratio,
+         |  quality_score, quality_score > 0.25 AND n_tokens >= 10 AS keep
+         |FROM (
+         |  SELECT doc_id, n_tokens, n_stop, avg_token_len, stop_ratio, punct_ratio,
+         |    stop_ratio * 0.5 + (1.0 - punct_ratio) * 0.3 +
+         |      CASE WHEN n_tokens >= 20 AND n_tokens <= 1000 THEN 0.2 ELSE 0.0 END
+         |      AS quality_score
+         |  FROM (
+         |    SELECT doc_id, n_tokens, n_stop, n_punct,
+         |      CAST(n_nospace AS DOUBLE)/n_tokens AS avg_token_len,
+         |      CAST(n_stop AS DOUBLE)/n_tokens AS stop_ratio,
+         |      CAST(n_punct AS DOUBLE)/n_chars AS punct_ratio
+         |    FROM (
+         |      SELECT doc_id, n_chars,
+         |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |        $sc AS n_stop,
+         |        CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT) AS n_punct,
+         |        CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_nospace
+         |      FROM documents)))
+         |ORDER BY doc_id""".stripMargin
+    },
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS alpha_tokens,
+        |  CAST(ceil(length(text)/4.0) AS BIGINT) AS est_llm_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}
