@@ -62,6 +62,7 @@ object SparkEntry {
     "q_dedup_embed" -> (Dedup.qDedupEmbed _),
     // similarity search (embeddings)
     "q_sim_topk" -> (Sim.qSimTopK _),
+    "q_sim_topk_native" -> (Sim.qSimTopKNative _),
     "q_sim_lsh" -> (Sim.qSimLsh _),
     "q_sim_label_coherence" -> (Sim.qSimLabelCoherence _),
     // event-time (events)
@@ -80,7 +81,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "wc_shell" ->
       """SELECT w AS word, COUNT(*) AS cnt
-        |FROM (SELECT unnest(regexp_split_to_array(lower(text), '[ \t\n]')) AS w
+        |FROM (SELECT unnest(regexp_split_to_array(lower(text), '[\[\] \t\n]')) AS w
         |      FROM documents)
         |GROUP BY w ORDER BY word""".stripMargin,
     "wc_python" ->

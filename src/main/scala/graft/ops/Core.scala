@@ -24,9 +24,18 @@ object Core {
     * aggregate — partial counts per partition, one shuffle on the word,
     * final merge. Identical shape at 100 TB; no driver-side state.
     */
-  def wordCountTr(spark: SparkSession, dir: String): DataFrame = {
-    graft.Tables.documents(spark, dir)
-      .select(explode(split(lower(col("text")), "[ \\t\\n]", -1)).as("word"))
+  def wordCountTr(spark: SparkSession, dir: String): DataFrame =
+    wordCountTrLines(
+      graft.Tables.documents(spark, dir).select(col("text").as("value")))
+
+  /** The shell pipeline over any one-string-column DataFrame. NB:
+    * `tr '[ \t]' '\n'` treats the *brackets as literal characters* — the
+    * translated set is {'[', ' ', '\t', ']'} — so they are separators too
+    * (plus the newline that ends each input line).
+    */
+  def wordCountTrLines(lines: DataFrame): DataFrame = {
+    lines
+      .select(explode(split(lower(col("value")), "[\\[\\] \\t\\n]", -1)).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .orderBy("word")
   }

@@ -96,8 +96,38 @@ object Sim {
       .orderBy("label")
   }
 
+  /** Same semantics as [[qSimTopK]] but scored by the native codegen'd
+    * [[graft.functions.CosineSimilarity]] expression instead of the
+    * zip_with/aggregate higher-order composition — shares q_sim_topk's
+    * oracle, proving the custom Expression is drop-in equivalent.
+    */
+  def qSimTopKNative(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val e = Tables.embeddings(spark, dir)
+    val q = broadcast(e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb")))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(q)
+      .select(col("vec_id"),
+        round(expr("cosine_sim(embedding, q_emb)"), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
   val oracles: Map[String, String] = Map(
     "q_sim_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings)
+        |SELECT b.vec_id,
+        |  round(list_sum(list_transform(list_zip(b.embedding, q.embedding),
+        |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |    / (b.nrm * q.nrm), 6) AS cos_sim
+        |FROM e b, e q WHERE q.vec_id = 0 AND b.vec_id <> 0
+        |ORDER BY cos_sim DESC, b.vec_id ASC LIMIT 10""".stripMargin,
+    "q_sim_topk_native" ->
       """WITH e AS (
         |  SELECT vec_id, embedding,
         |    sqrt(list_sum(list_transform(embedding,

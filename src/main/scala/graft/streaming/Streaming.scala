@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming twins of the batch event-time operators
+  * (graft.ops.Events): file-source stream → watermarked windowed aggs →
+  * sink, plus custom session state via mapGroupsWithState.
+  *
+  * The reference is strictly batch (SURVEY.md §1: a job is finite), so
+  * this is extension surface: the same queries a 100 TB/day event feed
+  * would run continuously. Batch/streaming share one logical shape —
+  * `window($"ts", ...)` groupBy — so results reconcile with the batch
+  * oracles when run with Trigger.AvailableNow over the same files.
+  */
+object Streaming {
+
+  /** Schema of the events table as the streaming source expects it
+    * (ts already a proper timestamp — the nanos conversion happens when
+    * staging the stream input, see [[stageStreamInput]]).
+    */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Stage the batch events table as a parquet directory a file-source
+    * stream can consume (simulates the landing zone a real feed writes).
+    */
+  def stageStreamInput(spark: SparkSession, dir: String, stageDir: String): Unit =
+    graft.Tables.events(spark, dir)
+      .write.mode("overwrite").parquet(stageDir)
+
+  /** Tumbling 1-hour windowed counts with a 2-hour watermark: the
+    * canonical late-data-tolerant streaming aggregate. One shuffle per
+    * micro-batch on (window, event_type); state size bounded by the
+    * watermark horizon, not the stream length.
+    */
+  def hourlyCounts(spark: SparkSession, stageDir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(stageDir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"))
+
+  final case class SessionState(lastSec: Long, sessions: Long, events: Long)
+  final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** Custom streaming state: per-user session counting with a 30-minute
+    * gap rule via mapGroupsWithState — the stateful-operator escape hatch
+    * for semantics windowed aggs can't express. State is one small struct
+    * per user (bounded), keyed shuffle per micro-batch.
+    */
+  def sessionize(spark: SparkSession, stageDir: String): Dataset[UserSessions] = {
+    import spark.implicits._
+    spark.readStream.schema(eventSchema).parquet(stageDir)
+      .select(col("user_id").as[Long],
+        unix_timestamp(col("ts")).as[Long])
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[SessionState, UserSessions](GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[SessionState]) =>
+          val sorted = rows.map(_._2).toSeq.sorted
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+          sorted.foreach { sec =>
+            val isNew = st.events == 0L || sec - st.lastSec > 1800L
+            st = SessionState(sec, st.sessions + (if (isNew) 1L else 0L),
+              st.events + 1L)
+          }
+          state.update(st)
+          UserSessions(uid, st.sessions, st.events)
+      }
+  }
+
+  /** Run a streaming DataFrame to completion over the staged files
+    * (Trigger.AvailableNow) into an in-memory table; returns the result.
+    */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+}

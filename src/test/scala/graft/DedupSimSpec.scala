@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Sim}
+
+/** Semantic checks for dedup + similarity beyond oracle equality:
+  * the LSH candidates must actually be the near-duplicates, and the
+  * native Catalyst cosine must be indistinguishable from the
+  * higher-order-function composition.
+  */
+class DedupSimSpec extends SparkTestBase {
+
+  test("minhash candidates are high-Jaccard pairs (recall + precision)") {
+    val mh = Dedup.qDedupMinhash(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val jc = Dedup.qDedupJaccard(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val hi = jc.filter(_._2 >= 0.6).keySet
+    assert(hi.nonEmpty, "corpus should contain planted near-duplicates")
+    assert((hi -- mh).isEmpty, s"minhash missed high-jaccard pairs: ${hi -- mh}")
+    val falsePos = mh.filter(p => jc.getOrElse(p, 0.0) < 0.2)
+    assert(falsePos.isEmpty, s"minhash false positives: $falsePos")
+  }
+
+  test("native cosine expression == declarative zip_with/aggregate") {
+    val a = Sim.qSimTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val b = Sim.qSimTopKNative(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a == b)
+  }
+
+  test("cosine_sim: unit vectors, orthogonal, zero-norm null") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val df = Seq(
+      (Array(1f, 0f), Array(1f, 0f)),   // identical -> 1.0
+      (Array(1f, 0f), Array(0f, 1f)),   // orthogonal -> 0.0
+      (Array(0f, 0f), Array(1f, 2f)),   // zero norm -> null
+      (Array(3f, 4f), Array(3f, 4f)))   // identical -> 1.0
+      .toDF("a", "b")
+      .select(expr("cosine_sim(a, b)").as("c"))
+    val got = df.collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(got(0).contains(1.0))
+    assert(got(1).contains(0.0))
+    assert(got(2).isEmpty)
+    assert(got(3).exists(v => math.abs(v - 1.0) < 1e-12))
+  }
+
+  test("lsh topk is a subset-ranking of brute-force ranking") {
+    val brute = Sim.qSimTopK(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val lsh = Sim.qSimLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    // every LSH hit that also appears in the brute-force top-10 must
+    // carry the identical score
+    lsh.foreach { case (id, c) =>
+      brute.get(id).foreach(bc => assert(bc == c, s"score mismatch for $id"))
+    }
+  }
+
+  test("simhash groups only docs with identical 16-bit signatures") {
+    val groups = Dedup.qDedupSimhash(spark, sfDir).collect()
+    groups.foreach { r =>
+      assert(r.getString(0).length == 16)
+      assert(r.getString(0).forall(c => c == '0' || c == '1'))
+      assert(r.getLong(1) > 1)
+    }
+  }
+
+  test("exact dedup: n_unique <= n_docs per source") {
+    Dedup.qDedupExact(spark, sfDir).collect().foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+    }
+  }
+}

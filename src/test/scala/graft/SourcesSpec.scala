@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Sources
+
+/** Source/sink parity and round-trips. */
+class SourcesSpec extends SparkTestBase {
+
+  test("writeKvText reproduces the reference sink contract") {
+    import spark.implicits._
+    val wc = graft.ops.Core.wordCountTr(spark, sfDir)
+    val out = Files.createTempDirectory("graft-kv").toString
+    Sources.writeKvText(wc, "word", "cnt", out, 2)
+
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    assert(files.length == 2, s"expected 2 part files, got ${files.map(_.getName).toSeq}")
+
+    // each file sorted; counts reconstruct the original aggregate
+    val all = files.flatMap { f =>
+      val lines = scala.io.Source.fromFile(f).getLines().toSeq
+      assert(lines == lines.sorted, s"${f.getName} not sorted")
+      lines
+    }
+    val parsed = all.map { l =>
+      val i = l.lastIndexOf('\t')
+      l.substring(0, i) -> l.substring(i + 1).toLong
+    }.toMap
+    val want = wc.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(parsed == want)
+  }
+
+  test("csv round-trip preserves rows") {
+    val df = graft.Tables.nation(spark, sfDir)
+    val out = Files.createTempDirectory("graft-csv").toString
+    Sources.writeCsv(df, out)
+    val back = Sources.readCsv(spark, out)
+    assert(back.count() == df.count())
+    assert(back.columns.toSeq == df.columns.toSeq)
+  }
+
+  test("json round-trip preserves values") {
+    val df = graft.Tables.region(spark, sfDir)
+    val out = Files.createTempDirectory("graft-json").toString
+    Sources.writeJson(df, out)
+    val back = Sources.readJson(spark, out)
+      .select("r_regionkey", "r_name")
+    assert(back.collect().map(_.toSeq).toSet ==
+      df.collect().map(_.toSeq).toSet)
+  }
+
+  test("partitioned parquet layout enables partition pruning") {
+    val df = graft.Tables.documents(spark, sfDir)
+    val out = Files.createTempDirectory("graft-part").toString
+    Sources.writePartitioned(df, out, "lang")
+    val pruned = spark.read.parquet(out).filter(col("lang") === "en")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(pruned.count() ==
+      df.filter(col("lang") === "en").count())
+    // the scan must carry the partition filter, not a post-scan filter
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"),
+      s"no partition pruning in plan:\n${plan.take(800)}")
+  }
+}

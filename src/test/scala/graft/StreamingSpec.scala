@@ -1,0 +1,54 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.Streaming
+
+/** Structured Streaming twins reconcile with their batch formulations
+  * when run to completion (Trigger.AvailableNow) over the same files.
+  */
+class StreamingSpec extends SparkTestBase {
+
+  private lazy val stageDir = {
+    val d = Files.createTempDirectory("graft-stream").toString
+    Streaming.stageStreamInput(spark, sfDir, d)
+    d
+  }
+
+  test("streaming hourly windowed counts == batch groupBy") {
+    val got = Streaming.runToMemory(
+      Streaming.hourlyCounts(spark, stageDir), "hourly", OutputMode.Complete())
+      .collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1)) -> r.getLong(2))
+      .toMap
+
+    val want = graft.Tables.events(spark, sfDir)
+      .groupBy(date_trunc("hour", col("ts")).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1)) -> r.getLong(2))
+      .toMap
+
+    assert(got == want)
+  }
+
+  test("streaming sessionization (mapGroupsWithState) == batch sessions") {
+    import spark.implicits._
+    val updates = Streaming.runToMemory(
+      Streaming.sessionize(spark, stageDir).toDF(),
+      "sessions", OutputMode.Update())
+    // state grows monotonically; the latest update per user is the total
+    val got = updates.groupBy("user_id")
+      .agg(max("n_sessions").as("s"), max("n_events").as("e"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+    val want = graft.ops.Events.qEventSessions(spark, sfDir)
+      .select("user_id", "n_sessions", "n_events")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+    assert(got == want)
+  }
+}
