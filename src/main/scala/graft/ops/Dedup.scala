@@ -50,23 +50,68 @@ object Dedup {
       .orderBy("source")
   }
 
+  /** One md5 per shingle reduced to a BIGINT via an integer Horner hash of
+    * the first 8 hex chars — pure `ascii`/`substr`/arithmetic shared
+    * verbatim by Spark SQL and DuckDB, so both engines derive identical
+    * permutation inputs without any hex-parse builtin.
+    */
+  private def hornerH(mcol: String): String =
+    (2 to 8).foldLeft(s"CAST(ascii(substr($mcol, 1, 1)) AS BIGINT)") {
+      (acc, i) => s"($acc * 31 + ascii(substr($mcol, $i, 1)))"
+    }
+
+  /** Permutation p of hash h: the classic (a·h + b) mod P family with
+    * P = 1e9+7 — integer-only, overflow-free in 64 bits, engine-agnostic.
+    * The multipliers are 16 INDEPENDENT large constants: small or
+    * arithmetically-related multipliers leave adjacent permutations
+    * correlated (the same shingle wins whole bands and spurious candidate
+    * pairs appear). All a < 9e9 so a·(h mod P) stays below 2^63.
+    * p is inlined so each permutation is a plain column expression.
+    */
+  private val permA = Seq(
+    2654435761L, 2246822519L, 3266489917L, 668265263L,
+    374761393L, 4101842887L, 3550635107L, 2685821657L,
+    1181783497L, 7046029277L, 4415386973L, 6148914691L,
+    8526495043L, 5675921253L, 1779033703L, 3144134277L)
+
+  private def permV(p: Int): String =
+    s"((${permA(p)} * (h % 1000000007) + ${362437L + 97003L * p}) % 1000000007)"
+
   /** MinHash + banded LSH candidate pairs.
-    * 16 permutations (mh_p = MIN over shingles of md5(p || '|' || shingle)),
+    * 16 permutations (mh_p = MIN over shingles of perm_p(h(shingle))),
     * 4 bands × 4 rows; two docs are candidates iff a whole band matches.
     * Collision probability ≈ 1-(1-j⁴)⁴ for Jaccard j — steep around j≈0.6.
+    * Cost shape: one md5 per (doc,shingle), then 16 integer ops each —
+    * the signature build is map-side partial-min, one shuffle on
+    * (doc_id, p), and the candidate join touches only band-key buckets.
     */
   def qDedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingleDf(spark, dir)
-    val sigs = sh
-      .select(col("doc_id"), col("s"),
-        explode(sequence(lit(0), lit(15))).as("p"))
-      .groupBy(col("doc_id"), col("p"))
-      .agg(min(expr("md5(concat(CAST(p AS STRING), '|', s))")).as("mh"))
+    // No shingle-distinct here: MIN is duplicate-insensitive, so skipping
+    // the dedup shuffle changes nothing. All 16 permutation minima are
+    // computed as 16 agg columns in ONE groupBy(doc_id) — map-side
+    // partial mins, a single shuffle of 16 longs per doc, no row
+    // explosion. Band keys are then a narrow per-doc projection.
+    val sh = Tables.documents(spark, dir)
+      .withColumn("w", split(lower(col("text")), " ", -1))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(w) >= 3 THEN
+          |  transform(sequence(1, size(w) - 2),
+          |    i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1),
+          |                   element_at(w, i + 2)))
+          |ELSE CAST(NULL AS ARRAY<STRING>) END""".stripMargin)).as("s"))
+      .withColumn("m", md5(col("s").cast("binary")))
+      .withColumn("h", expr(hornerH("m")))
+    val minAggs = (0 until 16).map(p => min(expr(permV(p))).as(s"mh$p"))
+    val sigs = sh.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+    val bandStructs = (0 until 4).map { bd =>
+      val key = (0 until 4).map(i => s"CAST(mh${4 * bd + i} AS STRING)")
+        .mkString("md5(concat_ws(',', ", ", ", "))")
+      s"struct(CAST($bd AS BIGINT) AS band, $key AS band_key)"
+    }.mkString("array(", ", ", ")")
     val bands = sigs
-      .groupBy(col("doc_id"), expr("CAST(p div 4 AS BIGINT)").as("band"))
-      .agg(expr(
-        "md5(array_join(transform(array_sort(collect_list(struct(p, mh))), x -> x.mh), ','))")
-        .as("band_key"))
+      .select(col("doc_id"), explode(expr(bandStructs)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"),
+        col("bs.band_key").as("band_key"))
     val a = bands.as("a")
     val b = bands.as("b")
     a.join(b, col("a.band") === col("b.band")
@@ -106,26 +151,31 @@ object Dedup {
     * extracted from the hex digits so Spark and DuckDB agree bit-for-bit.
     * Docs sharing a full signature are duplicate groups.
     */
+  /** ±1 contribution of bit `b` (0..15) from a hex md5 string column —
+    * text shared verbatim between Spark SQL (`div`→intdiv) and DuckDB
+    * (`//`), generated per engine.
+    */
+  private def bitContrib(b: Int, intdiv: String): String =
+    s"CASE WHEN (CAST(instr('0123456789abcdef', substr(m, ${b / 4 + 1}, 1)) - 1 AS BIGINT) " +
+      s"$intdiv ${1 << (3 - b % 4)}) % 2 = 1 THEN 1 ELSE -1 END"
+
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    // One md5 per distinct (doc, word); all 16 bit-sums ride a single
+    // groupBy(doc_id) with map-side partial aggregation — no 16× row
+    // explosion, no second shuffle.
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"),
         explode(split(lower(col("text")), " ", -1)).as("w"))
       .distinct()
-    val bits = toks
-      .select(col("doc_id"), col("w"),
-        explode(sequence(lit(0), lit(15))).as("b"))
-      .groupBy(col("doc_id"), col("b"))
-      .agg(sum(expr(
-        """CASE WHEN (CAST(instr('0123456789abcdef',
-          |  substr(md5(w), CAST(b div 4 AS INT) + 1, 1)) - 1 AS BIGINT)
-          |  div CAST(pow(2, 3 - b % 4) AS BIGINT)) % 2 = 1
-          |THEN 1 ELSE -1 END""".stripMargin)).as("v"))
-    bits
+      .withColumn("m", md5(col("w").cast("binary")))
+    val vAggs = (0 until 16).map(b =>
+      sum(expr(bitContrib(b, "div"))).as(s"v$b"))
+    val sigExpr = concat((0 until 16).map(b =>
+      when(col(s"v$b") > 0, "1").otherwise("0")): _*)
+    toks
       .groupBy(col("doc_id"))
-      .agg(expr(
-        """array_join(transform(array_sort(collect_list(struct(b,
-          |  CASE WHEN v > 0 THEN '1' ELSE '0' END AS bit))), x -> x.bit), '')"""
-          .stripMargin).as("sig"))
+      .agg(vAggs.head, vAggs.tail: _*)
+      .select(sigExpr.as("sig"))
       .groupBy(col("sig")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1)
       .orderBy("sig")
@@ -162,20 +212,32 @@ object Dedup {
       """SELECT source, COUNT(*) AS n_docs,
         |  COUNT(DISTINCT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))) AS n_unique
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
-    "q_dedup_minhash" ->
-      (shingleSqlCte +
-        """,
-          |sigs AS (
-          |  SELECT doc_id, p, min(md5(CAST(p AS VARCHAR) || '|' || s)) AS mh
-          |  FROM sh, range(0, 16) r(p) GROUP BY doc_id, p),
-          |bands AS (
-          |  SELECT doc_id, CAST(p // 4 AS BIGINT) AS band,
-          |         md5(string_agg(mh, ',' ORDER BY p)) AS band_key
-          |  FROM sigs GROUP BY doc_id, p // 4)
-          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          |FROM bands a JOIN bands b ON a.band = b.band
-          |  AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-          |ORDER BY doc_a, doc_b""".stripMargin),
+    "q_dedup_minhash" -> {
+      val minCols = (0 until 16)
+        .map(p => s"    MIN(${permV(p)}) AS mh$p").mkString(",\n")
+      val bandRows = (0 until 4).map { bd =>
+        val key = (0 until 4).map(i => s"CAST(mh${4 * bd + i} AS VARCHAR)")
+          .mkString("md5(concat_ws(',', ", ", ", "))")
+        s"  SELECT doc_id, CAST($bd AS BIGINT) AS band, $key AS band_key FROM sigs"
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+         |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM toks),
+         |hs AS (
+         |  SELECT doc_id, ${hornerH("md5(s)")} AS h FROM sh),
+         |sigs AS (
+         |  SELECT doc_id,
+         |$minCols
+         |  FROM hs GROUP BY doc_id),
+         |bands AS (
+         |$bandRows)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b ON a.band = b.band
+         |  AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
     "q_dedup_jaccard" ->
       (shingleSqlCte +
         """,
@@ -191,23 +253,23 @@ object Dedup {
           |JOIN card cb ON cb.doc_id = doc_b
           |WHERE CAST(shared AS DOUBLE)/(ca.n + cb.n - shared) >= 0.1
           |ORDER BY doc_a, doc_b""".stripMargin),
-    "q_dedup_simhash" ->
-      """WITH toks AS (
-        |  SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS w
-        |  FROM documents),
-        |bits AS (
-        |  SELECT doc_id, b,
-        |    SUM(CASE WHEN (CAST(strpos('0123456789abcdef',
-        |      substr(md5(w), CAST(b//4 AS INT) + 1, 1)) - 1 AS BIGINT)
-        |      // CAST(pow(2, 3 - b%4) AS BIGINT)) % 2 = 1
-        |    THEN 1 ELSE -1 END) AS v
-        |  FROM toks, range(0, 16) r(b) GROUP BY doc_id, b),
-        |sigs AS (
-        |  SELECT doc_id,
-        |    string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS sig
-        |  FROM bits GROUP BY doc_id)
-        |SELECT sig, COUNT(*) AS cnt FROM sigs GROUP BY sig
-        |HAVING COUNT(*) > 1 ORDER BY sig""".stripMargin,
+    "q_dedup_simhash" -> {
+      val vCols = (0 until 16)
+        .map(b => s"    SUM(${bitContrib(b, "//")}) AS v$b").mkString(",\n")
+      val sigConcat = (0 until 16)
+        .map(b => s"CASE WHEN v$b > 0 THEN '1' ELSE '0' END").mkString(", ")
+      s"""WITH toks AS (
+         |  SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS w
+         |  FROM documents),
+         |h AS (SELECT doc_id, md5(w) AS m FROM toks),
+         |v AS (
+         |  SELECT doc_id,
+         |$vCols
+         |  FROM h GROUP BY doc_id),
+         |sigs AS (SELECT doc_id, concat($sigConcat) AS sig FROM v)
+         |SELECT sig, COUNT(*) AS cnt FROM sigs GROUP BY sig
+         |HAVING COUNT(*) > 1 ORDER BY sig""".stripMargin
+    },
     "q_dedup_embed" ->
       """WITH v AS (
         |  SELECT vec_id, embedding,
