@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Core, Dedup, Events, Multimodal, Relational, Sim, Text}
+import graft.ops.{Core, Dedup, Events, Multimodal, Relational, Relational2, Sim, Skew, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -48,6 +48,14 @@ object SparkEntry {
     "q_json_events" -> (Relational.qJsonEvents _),
     "q_count_distinct" -> (Relational.qCountDistinct _),
     "q_approx_distinct" -> (Relational.qApproxDistinct _),
+    "q_grouping_sets" -> (Relational2.qGroupingSets _),
+    "q_exists_subquery" -> (Relational2.qExistsSubquery _),
+    "q_scalar_subquery" -> (Relational2.qScalarSubquery _),
+    "q_range_join" -> (Relational2.qRangeJoin _),
+    "q_pivot" -> (Relational2.qPivot _),
+    "q_median" -> (Relational2.qMedian _),
+    "q_salted_agg" -> (Skew.qSaltedAgg _),
+    "q_salted_join" -> (Skew.qSaltedJoin _),
     // text analysis (documents)
     "q_text_stats" -> (Text.qTextStats _),
     "q_lang_id" -> (Text.qLangId _),
@@ -225,5 +233,5 @@ object SparkEntry {
         |  COUNT(DISTINCT l_suppkey) AS n_supps
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   ) ++ Text.oracles ++ Dedup.oracles ++ Sim.oracles ++ Events.oracles ++
-    Multimodal.oracles
+    Multimodal.oracles ++ Relational2.oracles ++ Skew.oracles
 }

@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Skew-mitigation operators — the 100 TB story made executable.
+  *
+  * A hot key (one returnflag holds ~half of lineitem; one user dominates
+  * an event log) turns a single reducer into the whole job's critical
+  * path. Two standard remedies, both oracle-checked to produce results
+  * identical to their unsalted formulations:
+  *
+  *  - salted two-phase aggregation: groupBy(key, salt) partial →
+  *    groupBy(key) final. The hot key's partials spread over N salts /
+  *    N reducers; exact DECIMAL sums make the re-aggregation lossless.
+  *  - salted broadcast-free join: explode the small side N× (one copy per
+  *    salt), salt the big side with pmod(hash(row-id), N) — each hot-key
+  *    shard joins against its own copy. (AQE's skewedJoin does this
+  *    adaptively at runtime; this is the explicit form for when the
+  *    planner must be forced.)
+  */
+object Skew {
+
+  val SaltBuckets = 16
+
+  private def dec(c: Column) = c.cast(DecimalType(12, 2))
+
+  /** Two-phase salted aggregation over the deliberately-skewed
+    * l_returnflag key (6-ish distinct values for 600 K+ rows). The salt
+    * is derived from a row-unique column, so partials distribute evenly
+    * regardless of key skew.
+    */
+  def qSaltedAgg(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .withColumn("salt", pmod(hash(col("l_orderkey"), col("l_linenumber")),
+        lit(SaltBuckets)))
+    val partial = l
+      .groupBy(col("l_returnflag"), col("salt"))
+      .agg(sum(dec(col("l_quantity"))).as("ps_qty"),
+        count(lit(1)).as("ps_cnt"))
+    partial
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("ps_qty")).cast("double").as("sum_qty"),
+        sum(col("ps_cnt")).as("n_rows"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Salted join of skewed fact keys against a dimension: the dim side is
+    * exploded once per salt bucket so every salted fact shard finds its
+    * row. Result must equal the plain join (oracle: unsalted SQL).
+    */
+  def qSaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .withColumn("salt", pmod(hash(col("o_orderkey")), lit(SaltBuckets)))
+    val c = Tables.customer(spark, dir)
+      .withColumn("salt", explode(sequence(lit(0), lit(SaltBuckets - 1))))
+    o.join(c, o("o_custkey") === c("c_custkey") && o("salt") === c("salt"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("total"))
+      .orderBy("c_mktsegment")
+  }
+
+  val oracles: Map[String, String] = Map(
+    // Oracles are the UNSALTED formulations: salting must be invisible
+    // in the result.
+    "q_salted_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin,
+    "q_salted_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+  )
+}

@@ -1,0 +1,62 @@
+package graft
+
+import graft.ops.{Relational, Relational2, Sim}
+
+/** Physical-plan assertions: the properties that decide whether a query
+  * survives a 100× scale-up — filter/column pushdown into the parquet
+  * scan, dimension broadcasts, map-side partial aggregation, per-partition
+  * top-k — pinned here so a refactor can't silently regress them.
+  */
+class PlanSpec extends SparkTestBase {
+
+  /** Execute first so AQE finalizes the plan (codegen ids and the chosen
+    * join strategies only appear in the final adaptive plan).
+    */
+  private def plan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // count() would plan its own agg; collect runs THIS plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filter+projection are pushed into the parquet scan") {
+    val p = plan(Relational.qFilterProject(spark, sfDir))
+    assert(p.contains("PushedFilters:") &&
+      p.contains("GreaterThan(l_quantity,45.0)"),
+      s"quantity filter not pushed:\n${p.take(1500)}")
+    assert(p.contains("ReadSchema") && !p.contains("l_extendedprice"),
+      "scan reads columns the query never uses")
+  }
+
+  test("star join broadcasts the dimension tables") {
+    val p = plan(Relational.qJoinNationRevenue(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n${p.take(1500)}")
+  }
+
+  test("q1 aggregate has a map-side partial phase") {
+    val p = plan(Relational.q1PricingSummary(spark, sfDir))
+    assert(p.contains("partial_sum") || p.contains("Partial"),
+      s"no partial aggregation:\n${p.take(1500)}")
+  }
+
+  test("top-k is TakeOrderedAndProject, not a global sort") {
+    val p = plan(Relational.qTopKCustomers(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), s"plan:\n${p.take(1500)}")
+  }
+
+  test("range join broadcasts the band table (nested loop on tiny side)") {
+    val p = plan(Relational2.qRangeJoin(spark, sfDir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"band table not broadcast:\n${p.take(1500)}")
+  }
+
+  test("similarity scan reads only the needed columns") {
+    val p = plan(Sim.qSimTopK(spark, sfDir))
+    assert(!p.contains("label"), "embeddings scan reads unused label column")
+  }
+
+  test("whole-stage codegen covers the hot aggregation path") {
+    // codegen stages print as "*(n) Operator" in the final adaptive plan
+    val p = plan(Relational.q1PricingSummary(spark, sfDir))
+    assert(p.contains("*(1) HashAggregate") || p.contains("WholeStageCodegen"),
+      s"aggregation not inside a codegen stage:\n${p.take(1000)}")
+  }
+}
