@@ -181,6 +181,42 @@ object Dedup {
       .orderBy("sig")
   }
 
+  /** Near-dup resolution: connected components over the MinHash candidate
+    * pairs, canonical = MIN(doc_id) of each component. Iterative min-label
+    * propagation to a fixpoint — each round is one join + one aggregate on
+    * the candidate GRAPH (vastly smaller than the corpus), the same loop
+    * GraphX/label-propagation runs at scale; iteration count is bounded by
+    * component diameter (near-dup clusters are tiny by construction).
+    */
+  def qDedupResolve(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = qDedupMinhash(spark, dir)
+      .select(col("doc_a"), col("doc_b")).cache()
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("doc")).distinct()
+      .withColumn("root", col("doc"))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 50) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc", "nd"), col("dst") === col("nd"))
+        .groupBy(col("src")).agg(min(col("root")).as("nroot"))
+      val next = labels
+        .join(neighborMin.withColumnRenamed("src", "doc2"),
+          col("doc") === col("doc2"), "left")
+        .select(col("doc"),
+          least(col("root"), coalesce(col("nroot"), col("root"))).as("root"))
+        .cache()
+      changed = next.withColumnRenamed("root", "nr")
+        .join(labels, "doc").filter(col("nr") =!= col("root")).count()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("doc").as("doc_id"), col("root").as("canonical_id"))
+      .orderBy("doc_id")
+  }
+
   /** Embedding-cosine near-dup: sign-bit LSH bucket on dims 1–4 (axis
     * hyperplanes), exact cosine only within buckets, threshold 0.3.
     */
@@ -207,37 +243,55 @@ object Dedup {
       |    SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM toks))""".stripMargin
 
+  /** The full MinHash pipeline as a reusable CTE chain ending in
+    * `pairs(doc_a, doc_b)` — shared by the minhash and resolve oracles.
+    */
+  private lazy val minhashPairsCtes: String = {
+    val minCols = (0 until 16)
+      .map(p => s"    MIN(${permV(p)}) AS mh$p").mkString(",\n")
+    val bandRows = (0 until 4).map { bd =>
+      val key = (0 until 4).map(i => s"CAST(mh${4 * bd + i} AS VARCHAR)")
+        .mkString("md5(concat_ws(',', ", ", ", "))")
+      s"  SELECT doc_id, CAST($bd AS BIGINT) AS band, $key AS band_key FROM sigs"
+    }.mkString("\n  UNION ALL\n")
+    s"""toks AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM toks),
+       |hs AS (
+       |  SELECT doc_id, ${hornerH("md5(s)")} AS h FROM sh),
+       |sigs AS (
+       |  SELECT doc_id,
+       |$minCols
+       |  FROM hs GROUP BY doc_id),
+       |bands AS (
+       |$bandRows),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band
+       |    AND a.band_key = b.band_key AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
       """SELECT source, COUNT(*) AS n_docs,
         |  COUNT(DISTINCT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))) AS n_unique
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
-    "q_dedup_minhash" -> {
-      val minCols = (0 until 16)
-        .map(p => s"    MIN(${permV(p)}) AS mh$p").mkString(",\n")
-      val bandRows = (0 until 4).map { bd =>
-        val key = (0 until 4).map(i => s"CAST(mh${4 * bd + i} AS VARCHAR)")
-          .mkString("md5(concat_ws(',', ", ", ", "))")
-        s"  SELECT doc_id, CAST($bd AS BIGINT) AS band, $key AS band_key FROM sigs"
-      }.mkString("\n  UNION ALL\n")
-      s"""WITH toks AS (
-         |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
-         |sh AS (
-         |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
-         |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM toks),
-         |hs AS (
-         |  SELECT doc_id, ${hornerH("md5(s)")} AS h FROM sh),
-         |sigs AS (
-         |  SELECT doc_id,
-         |$minCols
-         |  FROM hs GROUP BY doc_id),
-         |bands AS (
-         |$bandRows)
-         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |FROM bands a JOIN bands b ON a.band = b.band
-         |  AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-         |ORDER BY doc_a, doc_b""".stripMargin
-    },
+    "q_dedup_minhash" ->
+      s"""WITH $minhashPairsCtes
+         |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_resolve" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT a AS doc, a AS root FROM edges
+         |  UNION
+         |  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.doc)
+         |SELECT doc AS doc_id, MIN(root) AS canonical_id
+         |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin,
     "q_dedup_jaccard" ->
       (shingleSqlCte +
         """,

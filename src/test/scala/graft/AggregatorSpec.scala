@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TopKAggregator
+
+/** The bounded-state top-k Aggregator must agree with the window-function
+  * formulation (which shuffles every row; the Aggregator shuffles k per
+  * group per partition).
+  */
+class AggregatorSpec extends SparkTestBase {
+
+  test("TopKAggregator == window row_number top-3 per customer") {
+    import spark.implicits._
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_custkey").as[Long], col("o_orderkey").as[Long],
+        col("o_totalprice").as[Double])
+      .as[(Long, Long, Double)]
+
+    val topk = new TopKAggregator(3).toColumn
+    val got = orders
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(topk.name("top"))
+      .collect()
+      .map { case (cust, hits) => cust -> hits.toList }
+      .toMap
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val want = Tables.orders(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey").as[Long], col("o_orderkey").as[Long],
+        col("o_totalprice").as[Double], col("rn").as[Int])
+      .collect()
+      .groupBy(_._1)
+      .map { case (c, rows) =>
+        c -> rows.sortBy(_._4).map(r => (r._2, r._3)).toList
+      }
+
+    assert(got.keySet == want.keySet)
+    got.foreach { case (c, hits) => assert(hits == want(c), s"customer $c") }
+  }
+
+  test("dedup resolve: canonical is the component minimum") {
+    val labels = graft.ops.Dedup.qDedupResolve(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = graft.ops.Dedup.qDedupMinhash(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(labels.nonEmpty)
+    // both endpoints of every candidate edge resolve to the same canonical
+    pairs.foreach { case (a, b) =>
+      assert(labels(a) == labels(b), s"edge ($a,$b) split across components")
+    }
+    // canonical is a member of the component and is its minimum
+    labels.groupBy(_._2).foreach { case (root, members) =>
+      assert(members.keySet.min == root)
+    }
+  }
+}
