@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Core, Dedup, Events, Multimodal, Relational, Relational2, Sim, Skew, Text}
+import graft.ops.{Core, Dedup, Events, Multimodal, Relational, Relational2, Relational3, Sim, Skew, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -56,6 +56,11 @@ object SparkEntry {
     "q_median" -> (Relational2.qMedian _),
     "q_salted_agg" -> (Skew.qSaltedAgg _),
     "q_salted_join" -> (Skew.qSaltedJoin _),
+    "q_except_all" -> (Relational3.qExceptAll _),
+    "q_intersect_all" -> (Relational3.qIntersectAll _),
+    "q_window_battery" -> (Relational3.qWindowBattery _),
+    "q_event_sliding" -> (Relational3.qEventSliding _),
+    "q_histogram" -> (Relational3.qHistogram _),
     // text analysis (documents)
     "q_text_stats" -> (Text.qTextStats _),
     "q_lang_id" -> (Text.qLangId _),
@@ -234,5 +239,6 @@ object SparkEntry {
         |  COUNT(DISTINCT l_suppkey) AS n_supps
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   ) ++ Text.oracles ++ Dedup.oracles ++ Sim.oracles ++ Events.oracles ++
-    Multimodal.oracles ++ Relational2.oracles ++ Skew.oracles
+    Multimodal.oracles ++ Relational2.oracles ++ Relational3.oracles ++
+    Skew.oracles
 }
