@@ -35,6 +35,26 @@ class StreamingSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("stream-static join enriches the stream with a batch dimension") {
+    val static = graft.Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val enriched = spark.readStream.schema(Streaming.eventSchema)
+      .parquet(stageDir)
+      .join(static, col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+    val got = Streaming.runToMemory(enriched, "enriched",
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    val want = graft.Tables.events(spark, sfDir)
+      .join(static, col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want && got.nonEmpty)
+  }
+
   test("streaming sessionization (mapGroupsWithState) == batch sessions") {
     import spark.implicits._
     val updates = Streaming.runToMemory(
