@@ -78,6 +78,7 @@ object SparkEntry {
     "q_sim_topk" -> (Sim.qSimTopK _),
     "q_sim_topk_native" -> (Sim.qSimTopKNative _),
     "q_sim_lsh" -> (Sim.qSimLsh _),
+    "q_sim_ivf" -> (Sim.qSimIvf _),
     "q_sim_label_coherence" -> (Sim.qSimLabelCoherence _),
     // event-time (events)
     "q_event_tumbling" -> (Events.qEventTumbling _),

@@ -114,6 +114,47 @@ object Sim {
       .limit(10)
   }
 
+  /** IVF (inverted-file) ANN: a KMeans coarse quantizer (k=8, fixed seed)
+    * partitions the corpus; a query probes only its `nprobe`=3 nearest
+    * centroids, scoring ~3/8 of the corpus. This is the standard scale
+    * path when sign-bit LSH buckets skew: centroids adapt to the data
+    * distribution. Centroid distances to the query are computed on the
+    * driver (k vectors — trivially small); everything row-scale stays
+    * distributed. KMeans isn't SQL-expressible → rows-only driver check;
+    * the ScalaTest spec pins determinism and score correctness instead.
+    */
+  def qSimIvf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("vec", array_to_vector(col("embedding").cast("array<double>")))
+    val model = new KMeans().setK(8).setSeed(42L).setMaxIter(10)
+      .setFeaturesCol("vec").fit(e)
+    val assigned = model.transform(e) // + prediction column
+    // driver-side: rank the 8 centroids by distance to the query vector
+    val qVec = Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+    val probes = model.clusterCenters.zipWithIndex
+      .map { case (c, i) =>
+        val d = c.toArray.zip(qVec).map { case (a, b) => (a - b) * (a - b) }.sum
+        (i, d)
+      }
+      .sortBy(_._2).take(3).map(_._1)
+    val qdf = broadcast(Tables.embeddings(spark, dir)
+      .filter(col("vec_id") === 0)
+      .withColumn("q_nrm", normExpr(col("embedding")))
+      .select(col("embedding").as("q_emb"), col("q_nrm")))
+    assigned
+      .filter(col("prediction").isin(probes.toSeq: _*) && col("vec_id") =!= 0)
+      .crossJoin(qdf)
+      .withColumn("nrm", normExpr(col("embedding")))
+      .withColumn("cos",
+        cosineFromParts(col("embedding"), col("q_emb"), col("nrm"), col("q_nrm")))
+      .select(col("vec_id"), round(col("cos"), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
   val oracles: Map[String, String] = Map(
     "q_sim_topk" ->
       """WITH e AS (

@@ -60,6 +60,35 @@ class DedupSimSpec extends SparkTestBase {
     }
   }
 
+  test("ivf: deterministic, scores exact, results from probed clusters only") {
+    val a = Sim.qSimIvf(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val b = Sim.qSimIvf(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a == b, "IVF result must be deterministic (fixed KMeans seed)")
+    assert(a.nonEmpty && a.size <= 10)
+    // every IVF score must equal the brute-force cosine for that id
+    val brute = Sim.qSimTopK(spark, sfDir).limit(10)
+    val all = graft.Tables.embeddings(spark, sfDir).count()
+    val bruteScores = {
+      // recompute all-pairs scores for the query the same way
+      import org.apache.spark.sql.functions._
+      val e = graft.Tables.embeddings(spark, sfDir)
+        .withColumn("nrm", Sim.normExpr(col("embedding")))
+      val q = broadcast(e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"), col("nrm").as("q_nrm")))
+      e.filter(col("vec_id") =!= 0).crossJoin(q)
+        .select(col("vec_id"),
+          round(Sim.cosineFromParts(col("embedding"), col("q_emb"),
+            col("nrm"), col("q_nrm")), 6).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    }
+    a.foreach { case (id, s) =>
+      assert(bruteScores(id) == s, s"IVF score for $id differs from exact")
+    }
+    assert(all > 0 && brute.count() == 10)
+  }
+
   test("simhash groups only docs with identical 16-bit signatures") {
     val groups = Dedup.qDedupSimhash(spark, sfDir).collect()
     groups.foreach { r =>
