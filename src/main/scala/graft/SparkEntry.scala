@@ -84,6 +84,7 @@ object SparkEntry {
     "q_event_tumbling" -> (Events.qEventTumbling _),
     "q_event_sessions" -> (Events.qEventSessions _),
     "q_event_asof" -> (Events.qEventAsof _),
+    "q_map_funcs" -> (Events.qMapFuncs _),
     // multimodal plumbing
     "q_mm_meta" -> (Multimodal.qMmMeta _),
     "q_mm_features" -> (Multimodal.qMmFeatures _),

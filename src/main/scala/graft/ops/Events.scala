@@ -83,7 +83,28 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** MapType surface: parse the JSON props into MAP<STRING,BIGINT> and
+    * exercise map_keys / element access / cardinality.
+    */
+  def qMapFuncs(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .withColumn("m", from_json(col("props"),
+        org.apache.spark.sql.types.DataType.fromDDL("map<string,bigint>")))
+      .select(
+        col("event_id"),
+        element_at(map_keys(col("m")), 1).as("key0"),
+        element_at(col("m"), "k").as("k_val"),
+        size(map_keys(col("m"))).cast("long").as("n_keys"))
+      .orderBy("event_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_map_funcs" ->
+      """SELECT event_id,
+        |  json_keys(props)[1] AS key0,
+        |  CAST(props->>'k' AS BIGINT) AS k_val,
+        |  CAST(len(json_keys(props)) AS BIGINT) AS n_keys
+        |FROM events ORDER BY event_id""".stripMargin,
     "q_event_tumbling" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
         |  event_type, COUNT(*) AS n_events,
