@@ -196,18 +196,21 @@ object Dedup {
       .cache()
     var labels = edges.select(col("src").as("doc")).distinct()
       .withColumn("root", col("doc"))
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < 50) {
+    def propagate(ls: DataFrame): DataFrame = {
       val neighborMin = edges
-        .join(labels.withColumnRenamed("doc", "nd"), col("dst") === col("nd"))
+        .join(ls.withColumnRenamed("doc", "nd"), col("dst") === col("nd"))
         .groupBy(col("src")).agg(min(col("root")).as("nroot"))
-      val next = labels
-        .join(neighborMin.withColumnRenamed("src", "doc2"),
+      ls.join(neighborMin.withColumnRenamed("src", "doc2"),
           col("doc") === col("doc2"), "left")
         .select(col("doc"),
           least(col("root"), coalesce(col("nroot"), col("root"))).as("root"))
-        .cache()
+    }
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 25) {
+      // two propagation rounds per convergence check: near-dup components
+      // have tiny diameters, so this halves the driver-side count jobs
+      val next = propagate(propagate(labels)).cache()
       changed = next.withColumnRenamed("root", "nr")
         .join(labels, "doc").filter(col("nr") =!= col("root")).count()
       labels = next
