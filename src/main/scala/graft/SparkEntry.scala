@@ -61,6 +61,10 @@ object SparkEntry {
     "q_window_battery" -> (Relational3.qWindowBattery _),
     "q_event_sliding" -> (Relational3.qEventSliding _),
     "q_histogram" -> (Relational3.qHistogram _),
+    "q_join_full" -> (graft.ops.Relational4.qJoinFull _),
+    "q_null_funcs" -> (graft.ops.Relational4.qNullFuncs _),
+    "q_quantiles" -> (graft.ops.Relational4.qQuantiles _),
+    "q_event_resample" -> (graft.ops.Relational4.qEventResample _),
     // text analysis (documents)
     "q_text_stats" -> (Text.qTextStats _),
     "q_lang_id" -> (Text.qLangId _),
@@ -242,5 +246,5 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   ) ++ Text.oracles ++ Dedup.oracles ++ Sim.oracles ++ Events.oracles ++
     Multimodal.oracles ++ Relational2.oracles ++ Relational3.oracles ++
-    Skew.oracles
+    graft.ops.Relational4.oracles ++ Skew.oracles
 }

@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Fourth tranche: full outer join, null-handling battery, exact
+  * multi-quantiles, and time-series resampling with forward fill.
+  */
+object Relational4 {
+
+  /** FULL OUTER join with unmatched rows on both sides (null keys pinned
+    * NULLS FIRST on both engines).
+    */
+  def qJoinFull(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).filter(col("c_acctbal") > 9500)
+    val o = Tables.orders(spark, dir).filter(col("o_totalprice") > 450000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+      .select(c("c_custkey").as("ck"), o("o_orderkey").as("ok"))
+      .orderBy(col("ck").asc_nulls_first, col("ok").asc_nulls_first)
+  }
+
+  /** Null-handling battery: nullif / coalesce / null-safe equality /
+    * least / greatest / IS NULL. The null-safe operator is `<=>` in Spark
+    * and `IS NOT DISTINCT FROM` in DuckDB — same semantics.
+    */
+  def qNullFuncs(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .filter(col("l_linenumber") === 1)
+      .select(
+        col("l_orderkey"),
+        expr("nullif(l_discount, 0.0)").as("disc_or_null"),
+        expr("coalesce(nullif(l_discount, 0.0), -1.0)").as("disc_coalesced"),
+        expr("nullif(l_discount, 0.0) <=> 0.05").as("nullsafe_eq"),
+        least(col("l_quantity"), col("l_discount") * 100).as("least_v"),
+        greatest(col("l_quantity"), col("l_discount") * 100).as("greatest_v"),
+        expr("nullif(l_discount, 0.0) IS NULL").as("was_zero"))
+      .orderBy("l_orderkey")
+  }
+
+  /** Exact interpolated quantile vector per group (p25/p50/p75/p90),
+    * computed as one array-percentile pass then projected to scalar
+    * columns (array-typed outputs don't hash portably across harnesses).
+    */
+  def qQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(expr(
+        "percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.9D))")
+        .as("q"))
+      .select(col("l_returnflag"),
+        round(element_at(col("q"), 1), 6).as("p25"),
+        round(element_at(col("q"), 2), 6).as("p50"),
+        round(element_at(col("q"), 3), 6).as("p75"),
+        round(element_at(col("q"), 4), 6).as("p90"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Time-series resample: per user, a 1-minute grid from first to last
+    * event, per-minute exact value sums, forward-filled through gaps
+    * (last non-null over the grid), then per-user summary. The grid
+    * explode + one window pass is the standard batch gap-fill shape —
+    * linear in grid size, single shuffle on user_id.
+    */
+  def qEventResample(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .withColumn("minute", expr("unix_timestamp(ts) div 60"))
+    val perMin = e.groupBy(col("user_id"), col("minute"))
+      .agg(sum(col("value").cast(DecimalType(12, 2))).cast("double").as("v"))
+    val grid = e.groupBy(col("user_id"))
+      .agg(min(col("minute")).as("lo"), max(col("minute")).as("hi"))
+      .select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("minute"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("minute").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(perMin, Seq("user_id", "minute"), "left")
+      .withColumn("filled", last(col("v"), ignoreNulls = true).over(w))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_minutes"),
+        count(col("v")).as("n_event_minutes"),
+        sum(when(col("v").isNull && col("filled").isNotNull, 1L)
+          .otherwise(0L)).as("n_gap_filled"),
+        max_by(col("filled"), col("minute")).as("final_value"))
+      .orderBy("user_id")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_join_full" ->
+      """SELECT c.c_custkey AS ck, o.o_orderkey AS ok
+        |FROM (SELECT * FROM customer WHERE c_acctbal > 9500) c
+        |FULL JOIN (SELECT * FROM orders WHERE o_totalprice > 450000) o
+        |  ON c.c_custkey = o.o_custkey
+        |ORDER BY ck ASC NULLS FIRST, ok ASC NULLS FIRST""".stripMargin,
+    "q_null_funcs" ->
+      """SELECT l_orderkey,
+        |  nullif(l_discount, 0.0) AS disc_or_null,
+        |  coalesce(nullif(l_discount, 0.0), -1.0) AS disc_coalesced,
+        |  nullif(l_discount, 0.0) IS NOT DISTINCT FROM 0.05 AS nullsafe_eq,
+        |  least(l_quantity, l_discount * 100) AS least_v,
+        |  greatest(l_quantity, l_discount * 100) AS greatest_v,
+        |  nullif(l_discount, 0.0) IS NULL AS was_zero
+        |FROM lineitem WHERE l_linenumber = 1 ORDER BY l_orderkey""".stripMargin,
+    "q_quantiles" ->
+      """SELECT l_returnflag,
+        |  round(q[1], 6) AS p25, round(q[2], 6) AS p50,
+        |  round(q[3], 6) AS p75, round(q[4], 6) AS p90
+        |FROM (SELECT l_returnflag,
+        |        quantile_cont(l_extendedprice, [0.25, 0.5, 0.75, 0.9]) AS q
+        |      FROM lineitem GROUP BY l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
+    "q_event_resample" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 60 AS minute, value
+        |  FROM events),
+        |per_min AS (
+        |  SELECT user_id, minute,
+        |    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v
+        |  FROM e GROUP BY user_id, minute),
+        |grid AS (
+        |  SELECT user_id, unnest(range(lo, hi + 1)) AS minute
+        |  FROM (SELECT user_id, MIN(minute) AS lo, MAX(minute) AS hi
+        |        FROM e GROUP BY user_id)),
+        |filled AS (
+        |  SELECT g.user_id, g.minute, p.v,
+        |    last_value(p.v IGNORE NULLS) OVER (
+        |      PARTITION BY g.user_id ORDER BY g.minute ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |  FROM grid g LEFT JOIN per_min p
+        |    ON g.user_id = p.user_id AND g.minute = p.minute)
+        |SELECT user_id, COUNT(*) AS n_minutes,
+        |  COUNT(v) AS n_event_minutes,
+        |  SUM(CASE WHEN v IS NULL AND filled IS NOT NULL THEN 1 ELSE 0 END) AS n_gap_filled,
+        |  arg_max(filled, minute) AS final_value
+        |FROM filled GROUP BY user_id ORDER BY user_id""".stripMargin,
+  )
+}

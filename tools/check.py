@@ -22,6 +22,11 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
         elif pd.api.types.is_float_dtype(df[c]):
             df[c] = df[c].astype("float64")
+        elif df[c].dtype == object:
+            # arrays/lists aren't sortable/hashable: canonicalize to string
+            df[c] = df[c].apply(
+                lambda v: str(list(v)) if isinstance(v, (list, tuple)) or
+                hasattr(v, "tolist") else v)
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
