@@ -71,6 +71,8 @@ object SparkEntry {
     "q_quality" -> (Text.qQuality _),
     "q_token_count" -> (Text.qTokenCount _),
     "q_fingerprint" -> (Text.qFingerprint _),
+    "q_ngram_top" -> (Text.qNgramTop _),
+    "q_text_redact" -> (Text.qTextRedact _),
     // dedup
     "q_dedup_exact" -> (Dedup.qDedupExact _),
     "q_dedup_minhash" -> (Dedup.qDedupMinhash _),

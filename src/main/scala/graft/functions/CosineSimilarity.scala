@@ -105,8 +105,10 @@ object GraftFunctions {
 
 /** `--conf spark.sql.extensions=graft.functions.GraftExtensions` */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getCanonicalName, "cosine_sim"),
       GraftFunctions.cosineSimBuilder))
+    ext.injectOptimizerRule(_ => graft.plans.CollapseRedundantRound)
+  }
 }

@@ -119,7 +119,68 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Top-3 word bigrams per language — the n-gram frequency profile that
+    * seeds language models / quality classifiers. Bigram explode →
+    * count per (lang, bigram) → windowed top-k; ties broken on the bigram
+    * text so ranking is deterministic.
+    */
+  def qNgramTop(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bigrams = Tables.documents(spark, dir)
+      .withColumn("w", split(lower(col("text")), " ", -1))
+      .select(col("lang"), explode(expr(
+        """CASE WHEN size(w) >= 2 THEN
+          |  transform(sequence(1, size(w) - 1),
+          |    i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))
+          |ELSE CAST(NULL AS ARRAY<STRING>) END""".stripMargin)).as("bg"))
+    val counts = bigrams.groupBy(col("lang"), col("bg"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("cnt").desc, col("bg").asc)
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("lang"), col("bg"), col("cnt"), col("rn").cast("long").as("rn"))
+      .orderBy("lang", "rn")
+  }
+
+  /** Redaction: mask stopword tokens and any all-digit tokens — the
+    * PII-scrub shape (here over word-boundary regexes shared by Java and
+    * RE2). Output is the md5 of the redacted text to keep rows narrow.
+    */
+  def qTextRedact(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(regexp_replace(
+          regexp_replace(lower(col("text")), "\\b(the|a|of|and)\\b", "<STOP>"),
+          "\\b[0-9]+\\b", "<NUM>").cast("binary")).as("redacted_md5"),
+        (length(col("text")) - length(
+          regexp_replace(lower(col("text")), "\\b(the|a|of|and)\\b", "")))
+          .cast("long").as("chars_redacted"))
+      .orderBy("doc_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_ngram_top" ->
+      """WITH bg AS (
+        |  SELECT lang, unnest(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i+1])) AS bg
+        |  FROM (SELECT lang, string_split(lower(text), ' ') AS w FROM documents)),
+        |c AS (SELECT lang, bg, COUNT(*) AS cnt FROM bg GROUP BY lang, bg),
+        |r AS (SELECT lang, bg, cnt,
+        |        CAST(row_number() OVER (PARTITION BY lang
+        |          ORDER BY cnt DESC, bg ASC) AS BIGINT) AS rn
+        |      FROM c)
+        |SELECT lang, bg, cnt, rn FROM r WHERE rn <= 3 ORDER BY lang, rn"""
+        .stripMargin,
+    "q_text_redact" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(
+        |    regexp_replace(lower(text), '\b(the|a|of|and)\b', '<STOP>', 'g'),
+        |    '\b[0-9]+\b', '<NUM>', 'g')) AS redacted_md5,
+        |  CAST(length(text) - length(
+        |    regexp_replace(lower(text), '\b(the|a|of|and)\b', '', 'g'))
+        |    AS BIGINT) AS chars_redacted
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_text_stats" ->
       """SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
         |  CAST(SUM(n_chars) AS DOUBLE)/COUNT(*) AS avg_chars,

@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The injected optimizer rule (CollapseRedundantRound) must fold the
+  * duplicate round out of the optimized plan without changing results.
+  */
+class RuleSpec extends SparkTestBase {
+
+  test("round(round(x, 6), 6) collapses to a single Round in the plan") {
+    val df = Tables.lineitem(spark, sfDir)
+      .select(round(round(col("l_extendedprice"), 6), 6).as("r"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    val occurrences = "round\\(".r.findAllIn(optimized.toLowerCase).size
+    assert(occurrences == 1, s"expected 1 round in plan, got $occurrences:\n$optimized")
+  }
+
+  test("collapse preserves values (idempotent rounding)") {
+    val a = Tables.lineitem(spark, sfDir)
+      .select(round(round(col("l_extendedprice"), 2), 2).as("r"))
+      .agg(sum("r")).head().getDouble(0)
+    val b = Tables.lineitem(spark, sfDir)
+      .select(round(col("l_extendedprice"), 2).as("r"))
+      .agg(sum("r")).head().getDouble(0)
+    assert(a == b)
+  }
+
+  test("different scales are NOT collapsed") {
+    val df = Tables.lineitem(spark, sfDir)
+      .select(round(round(col("l_extendedprice"), 4), 2).as("r"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    val occurrences = "round\\(".r.findAllIn(optimized.toLowerCase).size
+    assert(occurrences == 2, s"distinct scales must both survive:\n$optimized")
+  }
+}

@@ -52,6 +52,28 @@ class SourcesSpec extends SparkTestBase {
       df.collect().map(_.toSeq).toSet)
   }
 
+  test("permissive json ingestion captures corrupt records") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-badjson")
+    Files.writeString(dir.resolve("data.json"),
+      """{"id": 1, "v": 10}
+        |{"id": 2, "v": 20}
+        |{not json at all
+        |{"id": 3, "v": 30}
+        |""".stripMargin)
+    val df = spark.read
+      .schema("id LONG, v LONG, _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir.toString)
+      .cache() // corrupt-record column can't be queried alone uncached
+    assert(df.filter(col("_corrupt_record").isNotNull).count() == 1)
+    assert(df.filter(col("id").isNotNull).count() == 3)
+    val dropped = spark.read.schema("id LONG, v LONG")
+      .option("mode", "DROPMALFORMED").json(dir.toString)
+    assert(dropped.count() == 3)
+  }
+
   test("partitioned parquet layout enables partition pruning") {
     val df = graft.Tables.documents(spark, sfDir)
     val out = Files.createTempDirectory("graft-part").toString
