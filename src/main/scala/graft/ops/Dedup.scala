@@ -224,14 +224,14 @@ object Dedup {
     * hyperplanes), exact cosine only within buckets, threshold 0.3.
     */
   def qDedupEmbed(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
     val v = Tables.embeddings(spark, dir)
       .withColumn("bucket", Sim.bucketExpr)
-      .withColumn("nrm", Sim.normExpr(col("embedding")))
+    // scored by the codegen'd native expression — bit-identical to the
+    // zip_with/aggregate composition (same left-to-right double math)
     v.as("a").join(v.as("b"), col("a.bucket") === col("b.bucket")
         && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos",
-        Sim.cosineFromParts(col("a.embedding"), col("b.embedding"),
-          col("a.nrm"), col("b.nrm")))
+      .withColumn("cos", expr("cosine_sim(a.embedding, b.embedding)"))
       .filter(col("cos") > 0.3)
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
         round(col("cos"), 6).as("cos_sim"))

@@ -59,15 +59,13 @@ object Sim {
   def qSimLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .withColumn("bucket", bucketExpr)
-      .withColumn("nrm", normExpr(col("embedding")))
+    graft.functions.GraftFunctions.ensureRegistered(spark)
     val q = broadcast(e.filter(col("vec_id") === 0)
-      .select(col("bucket").as("q_bucket"), col("embedding").as("q_emb"),
-        col("nrm").as("q_nrm")))
+      .select(col("bucket").as("q_bucket"), col("embedding").as("q_emb")))
     e.filter(col("vec_id") =!= 0)
       .join(q, col("bucket") === col("q_bucket"))
-      .withColumn("cos",
-        cosineFromParts(col("embedding"), col("q_emb"), col("nrm"), col("q_nrm")))
-      .select(col("vec_id"), round(col("cos"), 6).as("cos_sim"))
+      .select(col("vec_id"),
+        round(expr("cosine_sim(embedding, q_emb)"), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
       .limit(5)
   }
@@ -140,17 +138,15 @@ object Sim {
         (i, d)
       }
       .sortBy(_._2).take(3).map(_._1)
+    graft.functions.GraftFunctions.ensureRegistered(spark)
     val qdf = broadcast(Tables.embeddings(spark, dir)
       .filter(col("vec_id") === 0)
-      .withColumn("q_nrm", normExpr(col("embedding")))
-      .select(col("embedding").as("q_emb"), col("q_nrm")))
+      .select(col("embedding").as("q_emb")))
     assigned
       .filter(col("prediction").isin(probes.toSeq: _*) && col("vec_id") =!= 0)
       .crossJoin(qdf)
-      .withColumn("nrm", normExpr(col("embedding")))
-      .withColumn("cos",
-        cosineFromParts(col("embedding"), col("q_emb"), col("nrm"), col("q_nrm")))
-      .select(col("vec_id"), round(col("cos"), 6).as("cos_sim"))
+      .select(col("vec_id"),
+        round(expr("cosine_sim(embedding, q_emb)"), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
       .limit(10)
   }
