@@ -72,6 +72,8 @@ object SparkEntry {
     "q_token_count" -> (Text.qTokenCount _),
     "q_fingerprint" -> (Text.qFingerprint _),
     "q_ngram_top" -> (Text.qNgramTop _),
+    "q_fingerprint_rolling" -> (Text.qFingerprintRolling _),
+    "q_mm_frames" -> (Multimodal.qMmFrames _),
     "q_text_redact" -> (Text.qTextRedact _),
     // dedup
     "q_dedup_exact" -> (Dedup.qDedupExact _),

@@ -98,7 +98,35 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Frame sampling over the binary payload: fixed 256-byte "frames",
+    * stride-4 sampling (every 4th frame) — the video-frame-sample batch
+    * shape with the decode stubbed as byte-slicing. The slicing itself is
+    * real (`substring` on BINARY), so frame counts and the digest of the
+    * first sampled frame are oracle-checkable on the same bytes.
+    */
+  def qMmFrames(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.documents(spark, dir)
+      .withColumn("payload", col("text").cast("binary"))
+      .withColumn("n_frames", expr("length(payload) div 256"))
+      .filter(col("n_frames") > 0)
+      .select(
+        col("doc_id"), col("n_frames"),
+        expr("CAST(ceil(n_frames / 4.0) AS BIGINT)").as("n_sampled"),
+        md5(expr("substring(payload, 1, 256)")).as("frame0_md5"))
+      .orderBy("doc_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    // DuckDB substring() has no BLOB overload; the corpus is ASCII
+    // (byte_len == n_chars, MultimodalSpec), so char slices == byte slices
+    "q_mm_frames" ->
+      """SELECT doc_id, n_frames,
+        |  CAST(ceil(n_frames / 4.0) AS BIGINT) AS n_sampled,
+        |  md5(substring(text, 1, 256)) AS frame0_md5
+        |FROM (SELECT doc_id, text,
+        |        octet_length(encode(text)) // 256 AS n_frames
+        |      FROM documents)
+        |WHERE n_frames > 0 ORDER BY doc_id""".stripMargin,
     "q_mm_meta" ->
       """SELECT doc_id,
         |  octet_length(encode(text)) AS byte_len,

@@ -119,6 +119,41 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Winnowing-style rolling-hash fingerprint: polynomial hash of every
+    * 4-token window (Horner over md5-derived token values, base 131 mod
+    * 1e9+7 — pure integer arithmetic shared verbatim with DuckDB), then
+    * the MIN and window count per document. Near-identical documents
+    * share window hashes, so their minima collide — the classic
+    * content-defined fingerprint, O(tokens) per doc, no shuffle beyond
+    * the final per-doc aggregate.
+    */
+  /** Token → integer via md5 hex prefix (shared text, both engines). */
+  private val tokHashExpr =
+    "((CAST(ascii(substr(md5(t), 1, 1)) AS BIGINT) * 961 + " +
+      "ascii(substr(md5(t), 2, 1)) * 31 + ascii(substr(md5(t), 3, 1))) % 1000000007)"
+
+  /** 4-token window polynomial hash, generated from one template so the
+    * Spark and DuckDB arithmetic is structurally identical; `el(j)` is
+    * the engine-specific accessor for window element j (0-based offset).
+    */
+  private def windowHashExpr(el: Int => String): String =
+    s"((((((${el(0)} * 131 + ${el(1)}) % 1000000007) * 131 + ${el(2)}) % 1000000007) * 131 + ${el(3)}) % 1000000007)"
+
+  def qFingerprintRolling(spark: SparkSession, dir: String): DataFrame = {
+    val wh = windowHashExpr(j => s"element_at(hv, i + $j)")
+    Tables.documents(spark, dir)
+      .withColumn("w", split(lower(col("text")), " ", -1))
+      .withColumn("hv", expr(s"transform(w, t -> $tokHashExpr)"))
+      .withColumn("roll", expr(
+        s"""CASE WHEN size(hv) >= 4 THEN
+           |  transform(sequence(1, size(hv) - 3), i -> $wh)
+           |ELSE CAST(NULL AS ARRAY<BIGINT>) END""".stripMargin))
+      .select(col("doc_id"), explode(col("roll")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("h")).as("min_hash"), count(lit(1)).as("n_windows"))
+      .orderBy("doc_id")
+  }
+
   /** Top-3 word bigrams per language — the n-gram frequency profile that
     * seeds language models / quality classifiers. Bigram explode →
     * count per (lang, bigram) → windowed top-k; ties broken on the bigram
@@ -160,6 +195,20 @@ object Text {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_fingerprint_rolling" -> {
+      val wh = windowHashExpr(j => s"hv[i + $j]")
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    list_transform(string_split(lower(text), ' '),
+         |      t -> $tokHashExpr) AS hv
+         |  FROM documents),
+         |rolls AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(hv) - 2),
+         |    i -> $wh)) AS h
+         |  FROM toks)
+         |SELECT doc_id, MIN(h) AS min_hash, COUNT(*) AS n_windows
+         |FROM rolls GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     "q_ngram_top" ->
       """WITH bg AS (
         |  SELECT lang, unnest(list_transform(range(1, len(w)),
