@@ -188,36 +188,81 @@ object Dedup {
     * GraphX/label-propagation runs at scale; iteration count is bounded by
     * component diameter (near-dup clusters are tiny by construction).
     */
-  def qDedupResolve(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = qDedupMinhash(spark, dir)
-      .select(col("doc_a"), col("doc_b")).cache()
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .cache()
-    var labels = edges.select(col("src").as("doc")).distinct()
-      .withColumn("root", col("doc"))
-    def propagate(ls: DataFrame): DataFrame = {
-      val neighborMin = edges
-        .join(ls.withColumnRenamed("doc", "nd"), col("dst") === col("nd"))
-        .groupBy(col("src")).agg(min(col("root")).as("nroot"))
-      ls.join(neighborMin.withColumnRenamed("src", "doc2"),
-          col("doc") === col("doc2"), "left")
-        .select(col("doc"),
-          least(col("root"), coalesce(col("nroot"), col("root"))).as("root"))
+  /** Size threshold below which the component resolution runs as a
+    * driver-side union-find over the collected candidate pairs. The
+    * candidate graph is orders of magnitude smaller than the corpus; when
+    * it fits comfortably on the driver, a union-find beats an iterative
+    * DataFrame loop whose per-iteration planning/codegen dwarfs the tiny
+    * joins. Above the threshold, the distributed label-propagation loop
+    * runs instead — an AQE-style size-based strategy choice.
+    */
+  val ResolveDriverThreshold = 1000000
+
+  def qDedupResolve(spark: SparkSession, dir: String): DataFrame =
+    resolveComponents(spark, qDedupMinhash(spark, dir)
+      .select(col("doc_a"), col("doc_b")), ResolveDriverThreshold)
+
+  /** Connected components over candidate pairs; canonical = component MIN.
+    * `driverThreshold` picks the strategy (see [[ResolveDriverThreshold]];
+    * pass 0 to force the distributed loop).
+    */
+  def resolveComponents(spark: SparkSession, pairsDf: DataFrame,
+    driverThreshold: Long): DataFrame = {
+    val pairs = pairsDf.cache()
+    val nPairs = pairs.count()
+    if (nPairs <= driverThreshold) {
+      // driver-side union-find (path-halving) over the small graph
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) {
+          val p = parent.getOrElse(r, r)
+          parent(r) = parent.getOrElse(p, p)
+          r = parent(r)
+        }
+        r
+      }
+      pairs.collect().foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { // union by MIN so the canonical is the minimum
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+        parent.getOrElseUpdate(a, find(a))
+        parent.getOrElseUpdate(b, find(b))
+      }
+      import spark.implicits._
+      parent.keys.toSeq.sorted.map(d => (d, find(d)))
+        .toDF("doc_id", "canonical_id")
+        .orderBy("doc_id")
+    } else {
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .cache()
+      var labels = edges.select(col("src").as("doc")).distinct()
+        .withColumn("root", col("doc"))
+      def propagate(ls: DataFrame): DataFrame = {
+        val neighborMin = edges
+          .join(ls.withColumnRenamed("doc", "nd"), col("dst") === col("nd"))
+          .groupBy(col("src")).agg(min(col("root")).as("nroot"))
+        ls.join(neighborMin.withColumnRenamed("src", "doc2"),
+            col("doc") === col("doc2"), "left")
+          .select(col("doc"),
+            least(col("root"), coalesce(col("nroot"), col("root"))).as("root"))
+      }
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < 25) {
+        // two propagation rounds per convergence check (tiny diameters)
+        val next = propagate(propagate(labels)).cache()
+        changed = next.withColumnRenamed("root", "nr")
+          .join(labels, "doc").filter(col("nr") =!= col("root")).count()
+        labels = next
+        iter += 1
+      }
+      labels.select(col("doc").as("doc_id"), col("root").as("canonical_id"))
+        .orderBy("doc_id")
     }
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < 25) {
-      // two propagation rounds per convergence check: near-dup components
-      // have tiny diameters, so this halves the driver-side count jobs
-      val next = propagate(propagate(labels)).cache()
-      changed = next.withColumnRenamed("root", "nr")
-        .join(labels, "doc").filter(col("nr") =!= col("root")).count()
-      labels = next
-      iter += 1
-    }
-    labels.select(col("doc").as("doc_id"), col("root").as("canonical_id"))
-      .orderBy("doc_id")
   }
 
   /** Embedding-cosine near-dup: sign-bit LSH bucket on dims 1–4 (axis

@@ -51,6 +51,19 @@ object Multimodal {
       }
       out
     }
+
+    /** STUB resize: deterministic down-sample of the payload to `target`
+      * bytes by striding (a real implementation resizes decoded pixels;
+      * the batch shape — bounded output per row regardless of input
+      * size — is what matters to the pipeline).
+      */
+    def resize(payload: Array[Byte], target: Int = 64): Array[Byte] = {
+      if (payload.length <= target) payload
+      else {
+        val stride = payload.length.toDouble / target
+        Array.tabulate(target)(i => payload((i * stride).toInt))
+      }
+    }
   }
 
   /** Per-partition feature extraction over the binary payloads — the

@@ -140,15 +140,22 @@ object Text {
     s"((((((${el(0)} * 131 + ${el(1)}) % 1000000007) * 131 + ${el(2)}) % 1000000007) * 131 + ${el(3)}) % 1000000007)"
 
   def qFingerprintRolling(spark: SparkSession, dir: String): DataFrame = {
-    val wh = windowHashExpr(j => s"element_at(hv, i + $j)")
+    import org.apache.spark.sql.expressions.Window
+    // Row-based formulation: tokens explode to rows, each token's md5 hash
+    // computed exactly ONCE, windows assembled with lead() over (doc, pos).
+    // The array-of-windows formulation is a trap here: CollapseProject
+    // inlines the hash array into every element_at reference and the md5
+    // work multiplies by window-width × array-length (measured 50× slower).
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
     Tables.documents(spark, dir)
-      .withColumn("w", split(lower(col("text")), " ", -1))
-      .withColumn("hv", expr(s"transform(w, t -> $tokHashExpr)"))
-      .withColumn("roll", expr(
-        s"""CASE WHEN size(hv) >= 4 THEN
-           |  transform(sequence(1, size(hv) - 3), i -> $wh)
-           |ELSE CAST(NULL AS ARRAY<BIGINT>) END""".stripMargin))
-      .select(col("doc_id"), explode(col("roll")).as("h"))
+      .select(col("doc_id"),
+        posexplode(split(lower(col("text")), " ", -1)).as(Seq("pos", "t")))
+      .withColumn("h0", expr(tokHashExpr))
+      .withColumn("h1", lead(col("h0"), 1).over(w))
+      .withColumn("h2", lead(col("h0"), 2).over(w))
+      .withColumn("h3", lead(col("h0"), 3).over(w))
+      .filter(col("h3").isNotNull)
+      .withColumn("h", expr(windowHashExpr(j => s"h$j")))
       .groupBy(col("doc_id"))
       .agg(min(col("h")).as("min_hash"), count(lit(1)).as("n_windows"))
       .orderBy("doc_id")

@@ -59,4 +59,16 @@ class AggregatorSpec extends SparkTestBase {
       assert(members.keySet.min == root)
     }
   }
+
+  test("driver union-find and distributed propagation agree") {
+    val pairs = graft.ops.Dedup.qDedupMinhash(spark, sfDir)
+      .select("doc_a", "doc_b")
+    val viaDriver = graft.ops.Dedup
+      .resolveComponents(spark, pairs, driverThreshold = Long.MaxValue)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaLoop = graft.ops.Dedup
+      .resolveComponents(spark, pairs, driverThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDriver == viaLoop && viaDriver.nonEmpty)
+  }
 }

@@ -19,6 +19,15 @@ class MultimodalSpec extends SparkTestBase {
     assert(a.forall(_._5.length == 8), "stub features are 8-dim")
   }
 
+  test("resize stub: bounded output, deterministic, identity below target") {
+    val big = Array.tabulate(1000)(i => (i % 251).toByte)
+    val r1 = Multimodal.FakeDecoder.resize(big, 64)
+    val r2 = Multimodal.FakeDecoder.resize(big, 64)
+    assert(r1.length == 64 && r1.toSeq == r2.toSeq)
+    val small = Array[Byte](1, 2, 3)
+    assert(Multimodal.FakeDecoder.resize(small, 64).toSeq == small.toSeq)
+  }
+
   test("payload byte length matches n_chars for the ascii corpus") {
     import org.apache.spark.sql.functions._
     val bad = Multimodal.binarize(spark, sfDir)
