@@ -239,7 +239,7 @@ object SparkEntry {
         |FROM lineitem WHERE l_linenumber = 1 ORDER BY l_orderkey""".stripMargin,
     "q_json_events" ->
       """SELECT event_type,
-        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
         |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max,
         |  COUNT(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

@@ -121,7 +121,7 @@ object Events {
         |      ORDER BY ts_sec ASC, event_id ASC) AS gap
         |  FROM t)
         |SELECT user_id,
-        |  SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS n_sessions,
+        |  CAST(SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
         |  COUNT(*) AS n_events,
         |  MAX(gap) AS max_gap_sec
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,

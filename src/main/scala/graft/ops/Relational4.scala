@@ -132,7 +132,7 @@ object Relational4 {
         |    ON g.user_id = p.user_id AND g.minute = p.minute)
         |SELECT user_id, COUNT(*) AS n_minutes,
         |  COUNT(v) AS n_event_minutes,
-        |  SUM(CASE WHEN v IS NULL AND filled IS NOT NULL THEN 1 ELSE 0 END) AS n_gap_filled,
+        |  CAST(SUM(CASE WHEN v IS NULL AND filled IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_gap_filled,
         |  arg_max(filled, minute) AS final_value
         |FROM filled GROUP BY user_id ORDER BY user_id""".stripMargin,
   )

@@ -238,9 +238,10 @@ object Text {
         |    AS BIGINT) AS chars_redacted
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_text_stats" ->
-      """SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
         |  CAST(SUM(n_chars) AS DOUBLE)/COUNT(*) AS avg_chars,
-        |  SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS total_tokens
+        |  CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS total_tokens
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_lang_id" -> {
       def sc(xs: Seq[String]) =

@@ -54,6 +54,20 @@ def main(sf_dir, out_dir):
             n_fail += 1
             continue
         g, e = canon(got), canon(exp)
+        # Driver-hash fidelity: a DuckDB HUGEINT (e.g. un-cast SUM of ints)
+        # lands in pandas as float64 while Spark emits int64 — values compare
+        # equal here but the driver's stringified hash sees 42.0 vs 42.
+        def _drift(a, b):
+            ka, kb = a.dtype.kind, b.dtype.kind
+            return ka != kb and "f" in (ka, kb) and ka in "fiu" and kb in "fiu"
+        kind_drift = [c for c in exp.columns
+                      if c in got.columns and _drift(got[c], exp[c])]
+        if kind_drift:
+            print(f"✗ FAIL {name}: int-vs-float dtype drift on {kind_drift} "
+                  f"(spark={[str(got[c].dtype) for c in kind_drift]} "
+                  f"duckdb={[str(exp[c].dtype) for c in kind_drift]}) — align the CASTs")
+            n_fail += 1
+            continue
         if list(g.columns) != list(e.columns):
             print(f"✗ FAIL {name}: columns {list(g.columns)} vs {list(e.columns)}")
             n_fail += 1
