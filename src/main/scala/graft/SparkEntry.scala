@@ -87,6 +87,7 @@ object SparkEntry {
     "q_sim_topk_native" -> (Sim.qSimTopKNative _),
     "q_sim_lsh" -> (Sim.qSimLsh _),
     "q_sim_ivf" -> (Sim.qSimIvf _),
+    "q_sim_ivf_kmeans" -> (Sim.qSimIvfKmeans _),
     "q_sim_label_coherence" -> (Sim.qSimLabelCoherence _),
     // event-time (events)
     "q_event_tumbling" -> (Events.qEventTumbling _),
@@ -247,6 +248,11 @@ object SparkEntry {
       """SELECT l_returnflag,
         |  COUNT(DISTINCT l_partkey) AS n_parts,
         |  COUNT(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  TRUE AS approx_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   ) ++ Text.oracles ++ Dedup.oracles ++ Sim.oracles ++ Events.oracles ++
     Multimodal.oracles ++ Relational2.oracles ++ Relational3.oracles ++

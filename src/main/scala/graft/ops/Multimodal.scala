@@ -100,9 +100,10 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  /** Feature extraction as a driver-checkable query (rows-only gate: the
-    * stub features have no SQL equivalent, but determinism is asserted in
-    * the ScalaTest spec).
+  /** Feature extraction as a driver-checkable query. The mapPartitions
+    * output columns are integer byte arithmetic on the payload, so the
+    * oracle replays them in SQL (ASCII corpus: ascii(char) == byte);
+    * the float feature vector itself stays spec-asserted.
     */
   def qMmFeatures(spark: SparkSession, dir: String): DataFrame = {
     extractFeatures(spark, dir)
@@ -140,6 +141,14 @@ object Multimodal {
         |        octet_length(encode(text)) // 256 AS n_frames
         |      FROM documents)
         |WHERE n_frames > 0 ORDER BY doc_id""".stripMargin,
+    "q_mm_features" ->
+      """SELECT doc_id,
+        |  octet_length(encode(text)) AS byte_len,
+        |  CAST(CAST(list_sum(list_transform(range(1, length(text)+1),
+        |    i -> ascii(substring(text, i, 1)))) AS BIGINT) % 997 AS BIGINT)
+        |    AS byte_sum_mod,
+        |  lower(hex(substring(text, 1, 4))) AS head_hex
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_mm_meta" ->
       """SELECT doc_id,
         |  octet_length(encode(text)) AS byte_len,

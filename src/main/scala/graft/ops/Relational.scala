@@ -289,14 +289,22 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
-  /** HLL approximate distinct — no DuckDB oracle (sketch internals differ);
-    * the driver records a rows-only check. At 100 TB this replaces the
-    * exact-distinct shuffle with a constant-size sketch merge.
+  /** HLL approximate distinct, accuracy-gated: the sketch estimate itself
+    * can't be reproduced in SQL (sketch internals differ across engines),
+    * so the query emits the exact count plus a boolean asserting the HLL
+    * estimate landed within 2% of it — which the oracle pins to TRUE.
+    * That upgrades the old rows-only check to a real gate on estimator
+    * accuracy. At 100 TB the sketch replaces the exact-distinct shuffle
+    * with a constant-size mergeable state per group.
     */
   def qApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        count_distinct(col("l_partkey")).as("n_parts"))
+      .select(col("l_returnflag"), col("n_parts"),
+        (abs(col("approx_parts") - col("n_parts"))
+          <= col("n_parts").cast("double") * 0.02).as("approx_ok"))
       .orderBy("l_returnflag")
   }
 }

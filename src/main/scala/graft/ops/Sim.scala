@@ -112,21 +112,73 @@ object Sim {
       .limit(10)
   }
 
-  /** IVF (inverted-file) ANN: a KMeans coarse quantizer (k=8, fixed seed)
-    * partitions the corpus; a query probes only its `nprobe`=3 nearest
-    * centroids, scoring ~3/8 of the corpus. This is the standard scale
-    * path when sign-bit LSH buckets skew: centroids adapt to the data
-    * distribution. Centroid distances to the query are computed on the
-    * driver (k vectors — trivially small); everything row-scale stays
-    * distributed. KMeans isn't SQL-expressible → rows-only driver check;
-    * the ScalaTest spec pins determinism and score correctness instead.
+  /** Squared L2 distance between a float array and a double-array centroid,
+    * left-to-right accumulation (identical fold order on the oracle side).
+    */
+  private def sqDistExpr(emb: Column, cen: Column): Column =
+    aggregate(zip_with(emb, cen,
+        (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** IVF (inverted-file) ANN with a deterministic codebook: per-label mean
+    * vectors (summed in DECIMAL(30,15) so the means are order-independent
+    * and bit-identical on both engines). Every vector is assigned to its
+    * nearest centroid — a genuine coarse quantizer, not a label lookup —
+    * and a query probes only its `nprobe`=3 nearest inverted lists,
+    * scoring ~3/k of the corpus. Fully SQL-expressible, so unlike a
+    * learned codebook this variant is oracle-checked end-to-end; the
+    * KMeans-codebook twin is [[qSimIvfKmeans]]. At scale the inverted
+    * lists are the partition key (write partitioned by `assigned`), so a
+    * probe prunes whole files; the codebook (k rows) broadcasts.
     */
   def qSimIvf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val e = Tables.embeddings(spark, dir)
+    val centroids = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(col("x").cast("double")
+          .cast(org.apache.spark.sql.types.DecimalType(30, 15)))
+        .cast("double") / count(lit(1))).as("m"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
+        .as("centroid"))
+      .select(col("label").as("c_label"), col("centroid"))
+    val dists = e.select("vec_id", "embedding").crossJoin(broadcast(centroids))
+      .withColumn("d", sqDistExpr(col("embedding"), col("centroid")))
+    val wAsg = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d").asc, col("c_label").asc)
+    val assigned = dists
+      .withColumn("rn", row_number().over(wAsg)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_label").as("assigned"))
+    val probes = dists.filter(col("vec_id") === 0)
+      .orderBy(col("d").asc, col("c_label").asc).limit(3)
+      .select(col("c_label").as("assigned"))
+    val qdf = broadcast(e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb")))
+    e.join(assigned, "vec_id")
+      .join(broadcast(probes), "assigned")
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(qdf)
+      .select(col("vec_id"),
+        round(expr("cosine_sim(embedding, q_emb)"), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  /** IVF with a *learned* codebook: KMeans (k=8, fixed seed) replaces the
+    * label-mean quantizer of [[qSimIvf]] — the standard path when no
+    * natural partition key exists or sign-bit LSH buckets skew. KMeans
+    * isn't SQL-expressible → rows-only driver check; the ScalaTest spec
+    * pins determinism and score correctness instead.
+    */
+  def qSimIvfKmeans(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val e = Tables.embeddings(spark, dir)
       .withColumn("vec", array_to_vector(col("embedding").cast("array<double>")))
-    val model = new KMeans().setK(8).setSeed(42L).setMaxIter(10)
+    val model = new KMeans().setK(8).setSeed(42L).setMaxIter(5)
       .setFeaturesCol("vec").fit(e)
     val assigned = model.transform(e) // + prediction column
     // driver-side: rank the 8 centroids by distance to the query vector
@@ -152,6 +204,47 @@ object Sim {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_sim_ivf" ->
+      """WITH cm AS (
+        |  SELECT label, pos,
+        |    CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE)
+        |      / COUNT(*) AS m
+        |  FROM (SELECT label, unnest(embedding) AS x,
+        |          CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos
+        |        FROM embeddings)
+        |  GROUP BY label, pos),
+        |cent AS (
+        |  SELECT label, list(m ORDER BY pos) AS centroid FROM cm GROUP BY label),
+        |dist AS (
+        |  SELECT e.vec_id, c.label,
+        |    list_sum(list_transform(list_zip(e.embedding, c.centroid),
+        |      p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2]))) AS d
+        |  FROM embeddings e CROSS JOIN cent c),
+        |assign AS (
+        |  SELECT vec_id, label AS assigned FROM (
+        |    SELECT vec_id, label,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, label ASC) AS rn
+        |    FROM dist) WHERE rn = 1),
+        |probes AS (
+        |  SELECT label AS assigned FROM dist WHERE vec_id = 0
+        |  ORDER BY d ASC, label ASC LIMIT 3),
+        |qv AS (
+        |  SELECT embedding AS q_emb,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS q_nrm
+        |  FROM embeddings WHERE vec_id = 0)
+        |SELECT b.vec_id,
+        |  round(list_sum(list_transform(list_zip(b.embedding, qv.q_emb),
+        |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(b.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * qv.q_nrm), 6)
+        |    AS cos_sim
+        |FROM embeddings b
+        |JOIN assign a ON a.vec_id = b.vec_id
+        |JOIN probes p ON p.assigned = a.assigned
+        |CROSS JOIN qv
+        |WHERE b.vec_id <> 0
+        |ORDER BY cos_sim DESC, b.vec_id ASC LIMIT 10""".stripMargin,
     "q_sim_topk" ->
       """WITH e AS (
         |  SELECT vec_id, embedding,

@@ -87,6 +87,13 @@ class DedupSimSpec extends SparkTestBase {
       assert(bruteScores(id) == s, s"IVF score for $id differs from exact")
     }
     assert(all > 0 && brute.count() == 10)
+    // the learned-codebook twin obeys the same contract
+    val km = Sim.qSimIvfKmeans(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(km.nonEmpty && km.size <= 10)
+    km.foreach { case (id, s) =>
+      assert(bruteScores(id) == s, s"KMeans-IVF score for $id differs from exact")
+    }
   }
 
   test("simhash groups only docs with identical 16-bit signatures") {
