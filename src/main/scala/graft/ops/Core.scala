@@ -26,7 +26,7 @@ object Core {
     */
   def wordCountTr(spark: SparkSession, dir: String): DataFrame =
     wordCountTrLines(
-      graft.Tables.documents(spark, dir).select(col("text").as("value")))
+      graft.Tables.documentsSpread(spark, dir).select(col("text").as("value")))
 
   /** The shell pipeline over any one-string-column DataFrame. NB:
     * `tr '[ \t]' '\n'` treats the *brackets as literal characters* — the
@@ -46,7 +46,7 @@ object Core {
     * (wc_reduce.py:13-18) — equivalent to count when every value is 1.
     */
   def wordCountWs(spark: SparkSession, dir: String): DataFrame = {
-    graft.Tables.documents(spark, dir)
+    graft.Tables.documentsSpread(spark, dir)
       .select(explode(split(col("text"), "\\s+", -1)).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("cnt"))

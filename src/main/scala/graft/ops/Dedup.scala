@@ -22,21 +22,6 @@ import graft.Tables
   */
 object Dedup {
 
-  /** (doc_id, s) — distinct word-3-gram shingles, 1-based positions to
-    * mirror the DuckDB oracle exactly.
-    */
-  private def shingleDf(spark: SparkSession, dir: String): DataFrame = {
-    Tables.documents(spark, dir)
-      .withColumn("w", split(lower(col("text")), " ", -1))
-      .select(col("doc_id"), explode(expr(
-        """CASE WHEN size(w) >= 3 THEN
-          |  transform(sequence(1, size(w) - 2),
-          |    i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1),
-          |                   element_at(w, i + 2)))
-          |ELSE CAST(NULL AS ARRAY<STRING>) END""".stripMargin)).as("s"))
-      .distinct()
-  }
-
   /** Exact dedup: count vs distinct-fingerprint count per source
     * (fingerprint = md5 of normalized text, the [[Text.qFingerprint]] key).
     */
@@ -91,7 +76,7 @@ object Dedup {
     // computed as 16 agg columns in ONE groupBy(doc_id) — map-side
     // partial mins, a single shuffle of 16 longs per doc, no row
     // explosion. Band keys are then a narrow per-doc projection.
-    val sh = Tables.documents(spark, dir)
+    val sh = Tables.documentsSpread(spark, dir)
       .withColumn("w", split(lower(col("text")), " ", -1))
       .select(col("doc_id"), explode(expr(
         """CASE WHEN size(w) >= 3 THEN
@@ -122,26 +107,45 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Exact n-gram Jaccard over shared-shingle candidate pairs.
-    * Candidates come from a self-join on the shingle value (inverted-index
-    * style) — at scale, hot shingles (stop-phrases) should be dropped by a
-    * document-frequency cap before the join; this corpus has no hot
-    * shingles so the join stays linear.
+  /** Exact n-gram Jaccard via inverted posting lists.
+    * Per-doc shingle sets are built map-side (array_distinct — no dedup
+    * shuffle) and each exploded row carries the doc's set cardinality, so
+    * posting lists collect (doc_id, n) structs per shingle (one shuffle),
+    * pairs are emitted from each list (i<j over the doc_id-sorted list,
+    * so each pair appears once per shared shingle) with both
+    * cardinalities already attached, and a final count per pair (second
+    * shuffle) yields |A∩B| with |A|,|B| in the grouping key. Two
+    * shuffles, no joins, and the corpus is scanned exactly once —
+    * versus the naive four-shuffle distinct + self-join + card-join
+    * shape. At scale, hot shingles (stop-phrases) get a document-
+    * frequency cap (filter on size(ds)) before the pair explosion —
+    * this corpus has none, so lists stay tiny.
     */
   def qDedupJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingleDf(spark, dir)
-    val card = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.as("a")
-      .join(sh.as("b"), col("a.s") === col("b.s")
-        && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val docs = Tables.documentsSpread(spark, dir)
+      .withColumn("w", split(lower(col("text")), " ", -1))
+      .withColumn("sh", expr(
+        """CASE WHEN size(w) >= 3 THEN
+          |  array_distinct(transform(sequence(1, size(w) - 2),
+          |    i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1),
+          |                   element_at(w, i + 2))))
+          |ELSE array() END""".stripMargin))
+    docs
+      .select(explode(col("sh")).as("s"), col("doc_id"),
+        size(col("sh")).cast("long").as("n"))
+      .groupBy(col("s"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ds, (a, i) ->
+          |  transform(slice(ds, i + 2, size(ds) - i - 1),
+          |    b -> struct(a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |                a.n AS na, b.n AS nb))))""".stripMargin)).as("p"))
+      .select(col("p.*"))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("shared"))
-    inter
-      .join(card.as("ca"), col("doc_a") === col("ca.doc_id"))
-      .join(card.as("cb"), col("doc_b") === col("cb.doc_id"))
       .withColumn("jaccard",
-        col("shared").cast("double")
-          / (col("ca.n") + col("cb.n") - col("shared")))
+        col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
       .filter(col("jaccard") >= 0.1)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy("doc_a", "doc_b")
@@ -160,13 +164,13 @@ object Dedup {
       s"$intdiv ${1 << (3 - b % 4)}) % 2 = 1 THEN 1 ELSE -1 END"
 
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    // One md5 per distinct (doc, word); all 16 bit-sums ride a single
-    // groupBy(doc_id) with map-side partial aggregation — no 16× row
-    // explosion, no second shuffle.
-    val toks = Tables.documents(spark, dir)
+    // One md5 per distinct (doc, word); per-doc token dedup happens
+    // map-side via array_distinct (no distinct shuffle), and all 16
+    // bit-sums ride a single groupBy(doc_id) with map-side partial
+    // aggregation — no 16× row explosion, one shuffle end-to-end.
+    val toks = Tables.documentsSpread(spark, dir)
       .select(col("doc_id"),
-        explode(split(lower(col("text")), " ", -1)).as("w"))
-      .distinct()
+        explode(array_distinct(split(lower(col("text")), " ", -1))).as("w"))
       .withColumn("m", md5(col("w").cast("binary")))
     val vAggs = (0 until 16).map(b =>
       sum(expr(bitContrib(b, "div"))).as(s"v$b"))
@@ -270,7 +274,7 @@ object Dedup {
     */
   def qDedupEmbed(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
-    val v = Tables.embeddings(spark, dir)
+    val v = Tables.embeddingsSpread(spark, dir)
       .withColumn("bucket", Sim.bucketExpr)
     // scored by the codegen'd native expression — bit-identical to the
     // zip_with/aggregate composition (same left-to-right double math)

@@ -30,7 +30,7 @@ object Multimodal {
     * here the utf-8 text bytes stand in, exercising the identical plumbing.
     */
   def binarize(spark: SparkSession, dir: String): DataFrame = {
-    graft.Tables.documents(spark, dir)
+    graft.Tables.documentsSpread(spark, dir)
       .select(col("doc_id"), col("text").cast("binary").as("payload"),
         struct(col("lang"), col("n_chars"), col("source")).as("meta"))
   }
@@ -92,7 +92,7 @@ object Multimodal {
     * on the same bytes.
     */
   def qMmMeta(spark: SparkSession, dir: String): DataFrame = {
-    graft.Tables.documents(spark, dir)
+    graft.Tables.documentsSpread(spark, dir)
       .select(col("doc_id"),
         length(col("text").cast("binary")).cast("long").as("byte_len"),
         ascii(substring(col("text"), 1, 1)).cast("long").as("first_byte"),
@@ -119,7 +119,7 @@ object Multimodal {
     * first sampled frame are oracle-checkable on the same bytes.
     */
   def qMmFrames(spark: SparkSession, dir: String): DataFrame = {
-    graft.Tables.documents(spark, dir)
+    graft.Tables.documentsSpread(spark, dir)
       .withColumn("payload", col("text").cast("binary"))
       .withColumn("n_frames", expr("length(payload) div 256"))
       .filter(col("n_frames") > 0)

@@ -41,7 +41,7 @@ object Sim {
 
   /** Brute-force cosine top-10 for the query vector vec_id = 0. */
   def qSimTopK(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir).withColumn("nrm", normExpr(col("embedding")))
+    val e = Tables.embeddingsSpread(spark, dir).withColumn("nrm", normExpr(col("embedding")))
     val q = broadcast(e.filter(col("vec_id") === 0)
       .select(col("embedding").as("q_emb"), col("nrm").as("q_nrm")))
     e.filter(col("vec_id") =!= 0)
@@ -57,7 +57,7 @@ object Sim {
     * Same ranking semantics as brute force, restricted to the bucket.
     */
   def qSimLsh(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+    val e = Tables.embeddingsSpread(spark, dir)
       .withColumn("bucket", bucketExpr)
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val q = broadcast(e.filter(col("vec_id") === 0)
@@ -76,7 +76,7 @@ object Sim {
     * scaling as one shuffle on (label, pos).
     */
   def qSimLabelCoherence(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+    val e = Tables.embeddingsSpread(spark, dir)
     val centroids = e
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .groupBy(col("label"), col("pos"))
@@ -101,7 +101,7 @@ object Sim {
     */
   def qSimTopKNative(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
-    val e = Tables.embeddings(spark, dir)
+    val e = Tables.embeddingsSpread(spark, dir)
     val q = broadcast(e.filter(col("vec_id") === 0)
       .select(col("embedding").as("q_emb")))
     e.filter(col("vec_id") =!= 0)
@@ -134,7 +134,7 @@ object Sim {
   def qSimIvf(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.ensureRegistered(spark)
-    val e = Tables.embeddings(spark, dir)
+    val e = Tables.embeddingsSpread(spark, dir)
     val centroids = e
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .groupBy(col("label"), col("pos"))

@@ -18,7 +18,7 @@ object Text {
 
   /** Corpus statistics by language tag. */
   def qTextStats(spark: SparkSession, dir: String): DataFrame = {
-    Tables.documents(spark, dir)
+    Tables.documentsSpread(spark, dir)
       .withColumn("n_tokens", size(split(col("text"), " ", -1)).cast("long"))
       .groupBy(col("lang"))
       .agg(
@@ -48,7 +48,7 @@ object Text {
     * quality; a real model would slot into the same per-row shape.
     */
   def qLangId(spark: SparkSession, dir: String): DataFrame = {
-    Tables.documents(spark, dir)
+    Tables.documentsSpread(spark, dir)
       .withColumn("s_en", expr(stopScore(stopEn)))
       .withColumn("s_de", expr(stopScore(stopDe)))
       .withColumn("s_fr", expr(stopScore(stopFr)))
@@ -70,7 +70,7 @@ object Text {
     * doubles match bit-for-bit.
     */
   def qQuality(spark: SparkSession, dir: String): DataFrame = {
-    Tables.documents(spark, dir)
+    Tables.documentsSpread(spark, dir)
       .withColumn("n_tokens", size(split(col("text"), " ", -1)).cast("long"))
       .withColumn("n_stop", expr(stopScore(stopEn)))
       .withColumn("n_punct",
@@ -96,7 +96,7 @@ object Text {
     * tokens, and the chars/4 LLM-token estimate.
     */
   def qTokenCount(spark: SparkSession, dir: String): DataFrame = {
-    Tables.documents(spark, dir)
+    Tables.documentsSpread(spark, dir)
       .select(
         col("doc_id"),
         expr("CAST(size(filter(split(text, '\\\\s+', -1), t -> t <> '')) AS BIGINT)")
@@ -112,7 +112,7 @@ object Text {
     * fingerprint.
     */
   def qFingerprint(spark: SparkSession, dir: String): DataFrame = {
-    Tables.documents(spark, dir)
+    Tables.documentsSpread(spark, dir)
       .select(col("doc_id"),
         md5(regexp_replace(lower(col("text")), "[^a-z0-9]", "")
           .cast("binary")).as("fp"))
@@ -147,7 +147,7 @@ object Text {
     // inlines the hash array into every element_at reference and the md5
     // work multiplies by window-width × array-length (measured 50× slower).
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
-    Tables.documents(spark, dir)
+    Tables.documentsSpread(spark, dir)
       .select(col("doc_id"),
         posexplode(split(lower(col("text")), " ", -1)).as(Seq("pos", "t")))
       .withColumn("h0", expr(tokHashExpr))
@@ -168,7 +168,7 @@ object Text {
     */
   def qNgramTop(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val bigrams = Tables.documents(spark, dir)
+    val bigrams = Tables.documentsSpread(spark, dir)
       .withColumn("w", split(lower(col("text")), " ", -1))
       .select(col("lang"), explode(expr(
         """CASE WHEN size(w) >= 2 THEN
@@ -190,7 +190,7 @@ object Text {
     * RE2). Output is the md5 of the redacted text to keep rows narrow.
     */
   def qTextRedact(spark: SparkSession, dir: String): DataFrame = {
-    Tables.documents(spark, dir)
+    Tables.documentsSpread(spark, dir)
       .select(col("doc_id"),
         md5(regexp_replace(
           regexp_replace(lower(col("text")), "\\b(the|a|of|and)\\b", "<STOP>"),
