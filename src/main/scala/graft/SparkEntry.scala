@@ -65,6 +65,13 @@ object SparkEntry {
     "q_null_funcs" -> (graft.ops.Relational4.qNullFuncs _),
     "q_quantiles" -> (graft.ops.Relational4.qQuantiles _),
     "q_event_resample" -> (graft.ops.Relational4.qEventResample _),
+    "q_explode_tokens" -> (graft.ops.Relational5.qExplodeTokens _),
+    "q_unpivot" -> (graft.ops.Relational5.qUnpivot _),
+    "q_array_funcs" -> (graft.ops.Relational5.qArrayFuncs _),
+    "q_sample_hash" -> (graft.ops.Relational5.qSampleHash _),
+    "q_approx_quantiles" -> (graft.ops.Relational5.qApproxQuantiles _),
+    "q_window_range" -> (graft.ops.Relational5.qWindowRange _),
+    "q_stream_tumbling" -> (graft.streaming.Streaming.qStreamTumbling _),
     // text analysis (documents)
     "q_text_stats" -> (Text.qTextStats _),
     "q_lang_id" -> (Text.qLangId _),
@@ -256,5 +263,6 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   ) ++ Text.oracles ++ Dedup.oracles ++ Sim.oracles ++ Events.oracles ++
     Multimodal.oracles ++ Relational2.oracles ++ Relational3.oracles ++
-    graft.ops.Relational4.oracles ++ Skew.oracles
+    graft.ops.Relational4.oracles ++ graft.ops.Relational5.oracles ++
+    graft.streaming.Streaming.oracles ++ Skew.oracles
 }

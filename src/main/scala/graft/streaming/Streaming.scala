@@ -91,4 +91,44 @@ object Streaming {
     q.awaitTermination()
     df.sparkSession.table(name)
   }
+
+  private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Structured Streaming as a driver-gated query: stage the events table
+    * as a landing-zone directory, stream it with a 2-hour watermark into
+    * tumbling 1-hour (window, type) aggregates, run to completion with
+    * Trigger.AvailableNow, and hand back the final table — hash-checked
+    * against the same SQL the batch tumbling query answers. Complete
+    * output mode so windows inside the final watermark horizon emit too
+    * (with AvailableNow the stream ends; Append would hold them back).
+    * Proves the streaming twin computes the batch answer bit-for-bit.
+    */
+  def qStreamTumbling(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val stage = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_stream_stage_" + dir.replaceAll("[^a-zA-Z0-9]", "_"))
+      .getAbsolutePath
+    stageStreamInput(spark, dir, stage)
+    val agg = spark.readStream.schema(eventSchema).parquet(stage)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(12, 2))).cast("double")
+          .as("sum_value"))
+    runToMemory(agg, s"graft_stream_tumbling_${runSeq.incrementAndGet()}",
+        OutputMode.Complete())
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("hour_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("hour_start", "event_type")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_stream_tumbling" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |  event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+  )
 }
