@@ -72,6 +72,15 @@ object SparkEntry {
     "q_approx_quantiles" -> (graft.ops.Relational5.qApproxQuantiles _),
     "q_window_range" -> (graft.ops.Relational5.qWindowRange _),
     "q_stream_tumbling" -> (graft.streaming.Streaming.qStreamTumbling _),
+    "q_stream_sessions" -> (graft.streaming.Streaming.qStreamSessions _),
+    "q_stats_agg" -> (graft.ops.Relational6.qStatsAgg _),
+    "q_string_funcs2" -> (graft.ops.Relational6.qStringFuncs2 _),
+    "q_date_funcs2" -> (graft.ops.Relational6.qDateFuncs2 _),
+    "q_count_if" -> (graft.ops.Relational6.qCountIf _),
+    "q_map_hof" -> (graft.ops.Relational6.qMapHof _),
+    "q_explode_outer" -> (graft.ops.Relational6.qExplodeOuter _),
+    "q_union_by_name" -> (graft.ops.Relational6.qUnionByName _),
+    "q_sink_roundtrip" -> (graft.sources.Sources.qSinkRoundtrip _),
     // text analysis (documents)
     "q_text_stats" -> (Text.qTextStats _),
     "q_lang_id" -> (Text.qLangId _),
@@ -264,5 +273,6 @@ object SparkEntry {
   ) ++ Text.oracles ++ Dedup.oracles ++ Sim.oracles ++ Events.oracles ++
     Multimodal.oracles ++ Relational2.oracles ++ Relational3.oracles ++
     graft.ops.Relational4.oracles ++ graft.ops.Relational5.oracles ++
+    graft.ops.Relational6.oracles ++ graft.sources.Sources.oracles ++
     graft.streaming.Streaming.oracles ++ Skew.oracles
 }

@@ -53,4 +53,36 @@ object Sources {
     */
   def writePartitioned(df: DataFrame, out: String, cols: String*): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(cols: _*).parquet(out)
+
+  /** Sink + source in the driver gate: aggregate, write the result out as
+    * headered CSV (overwrite), read it back with an explicit schema (no
+    * inference drift), and return the re-read frame — hash-checked
+    * against the aggregation SQL, proving the CSV round-trip preserves
+    * values exactly. Doubles survive because Spark's CSV writer emits
+    * round-trippable representations.
+    */
+  def qSinkRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_sink_csv_" + dir.replaceAll("[^a-zA-Z0-9]", "_")).getAbsolutePath
+    graft.Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast(DecimalType(12, 2))).cast("double")
+          .as("sum_qty"))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).option("header", "true").csv(out)
+    spark.read
+      .schema("l_returnflag STRING, l_linestatus STRING, n_rows BIGINT, sum_qty DOUBLE")
+      .option("header", "true").csv(out)
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_sink_roundtrip" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+  )
 }

@@ -124,7 +124,43 @@ object Streaming {
       .orderBy("hour_start", "event_type")
   }
 
+  /** Custom stateful streaming in the driver gate: [[sessionize]]
+    * (mapGroupsWithState, 30-minute gap rule) run to completion with
+    * Trigger.AvailableNow. The staged input is a single file, so the
+    * stream is one micro-batch and per-user rows arrive complete (the
+    * sort inside the state function then fixes intra-batch order);
+    * Update-mode memory output is reduced with max_by(n_events) to keep
+    * the final state per user if the source ever splits into several
+    * batches. Hash-checked against the batch sessionization SQL.
+    */
+  def qStreamSessions(spark: SparkSession, dir: String): DataFrame = {
+    val stage = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_stream_stage_" + dir.replaceAll("[^a-zA-Z0-9]", "_"))
+      .getAbsolutePath
+    stageStreamInput(spark, dir, stage)
+    val res = runToMemory(sessionize(spark, stage).toDF(),
+      s"graft_stream_sessions_${runSeq.incrementAndGet()}",
+      OutputMode.Update())
+    res.groupBy(col("user_id"))
+      .agg(max_by(col("n_sessions"), col("n_events")).as("n_sessions"),
+        max(col("n_events")).as("n_events"))
+      .orderBy("user_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_stream_sessions" ->
+      """WITH t AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, event_id
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id,
+        |    ts_sec - lag(ts_sec, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts_sec ASC, event_id ASC) AS gap
+        |  FROM t)
+        |SELECT user_id,
+        |  CAST(SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |  COUNT(*) AS n_events
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_stream_tumbling" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
         |  event_type, COUNT(*) AS n_events,
