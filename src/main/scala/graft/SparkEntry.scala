@@ -81,6 +81,11 @@ object SparkEntry {
     "q_explode_outer" -> (graft.ops.Relational6.qExplodeOuter _),
     "q_union_by_name" -> (graft.ops.Relational6.qUnionByName _),
     "q_sink_roundtrip" -> (graft.sources.Sources.qSinkRoundtrip _),
+    "q_session_window" -> (graft.ops.Relational7.qSessionWindow _),
+    "q_sql_entry" -> (graft.ops.Relational7.qSqlEntry _),
+    "q_lateral_topn" -> (graft.ops.Relational7.qLateralTopN _),
+    "q_bitwise" -> (graft.ops.Relational7.qBitwise _),
+    "q_interval_arith" -> (graft.ops.Relational7.qIntervalArith _),
     // text analysis (documents)
     "q_text_stats" -> (Text.qTextStats _),
     "q_lang_id" -> (Text.qLangId _),
@@ -273,6 +278,7 @@ object SparkEntry {
   ) ++ Text.oracles ++ Dedup.oracles ++ Sim.oracles ++ Events.oracles ++
     Multimodal.oracles ++ Relational2.oracles ++ Relational3.oracles ++
     graft.ops.Relational4.oracles ++ graft.ops.Relational5.oracles ++
-    graft.ops.Relational6.oracles ++ graft.sources.Sources.oracles ++
+    graft.ops.Relational6.oracles ++ graft.ops.Relational7.oracles ++
+    graft.sources.Sources.oracles ++
     graft.streaming.Streaming.oracles ++ Skew.oracles
 }

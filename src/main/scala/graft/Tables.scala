@@ -90,4 +90,8 @@ object Tables {
   /** [[embeddings]] re-spread for per-vector scoring pipelines. */
   def embeddingsSpread(spark: SparkSession, dir: String): DataFrame =
     spread(spark, embeddings(spark, dir))
+
+  /** [[lineitem]] re-spread for per-row-hash-heavy pipelines. */
+  def lineitemSpread(spark: SparkSession, dir: String): DataFrame =
+    spread(spark, lineitem(spark, dir))
 }

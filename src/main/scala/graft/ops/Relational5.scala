@@ -77,6 +77,9 @@ object Relational5 {
     * whose RNG cannot match any oracle.
     */
   def qSampleHash(spark: SparkSession, dir: String): DataFrame = {
+    // NB: deliberately NOT spread — the md5 filter is deterministic, so
+    // Catalyst pushes it back below any repartition and the hash work
+    // stays on the scan task while the shuffle cost is added on top.
     val h = horner("md5(CAST(CAST(l_orderkey AS STRING) AS BINARY))")
     Tables.lineitem(spark, dir)
       .filter(expr(s"$h % 10 = 0"))
