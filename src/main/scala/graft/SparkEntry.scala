@@ -86,6 +86,9 @@ object SparkEntry {
     "q_lateral_topn" -> (graft.ops.Relational7.qLateralTopN _),
     "q_bitwise" -> (graft.ops.Relational7.qBitwise _),
     "q_interval_arith" -> (graft.ops.Relational7.qIntervalArith _),
+    "q_variant_json" -> (graft.ops.Relational7.qVariantJson _),
+    "q_collect_list" -> (graft.ops.Relational7.qCollectList _),
+    "q_partition_pruning" -> (graft.ops.Relational7.qPartitionPruning _),
     // text analysis (documents)
     "q_text_stats" -> (Text.qTextStats _),
     "q_lang_id" -> (Text.qLangId _),

@@ -100,7 +100,73 @@ object Relational7 {
       .orderBy("event_id")
   }
 
+  /** Spark 4 VARIANT type: parse_json → variant_get with a typed path,
+    * try_variant_get on a missing path → null. The oracle replays via
+    * plain JSON extraction — semantics, not storage, are what's checked.
+    */
+  def qVariantJson(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k_var"),
+        expr("try_variant_get(parse_json(props), '$.does_not_exist', 'bigint')")
+          .as("missing"))
+      .orderBy("event_id")
+  }
+
+  /** Aggregate-to-array: collect_set → sorted array → joined string (the
+    * only deterministic, cross-engine-comparable form of a collected
+    * list).
+    */
+  def qCollectList(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        array_join(array_sort(collect_set(col("l_linestatus"))), ",")
+          .as("statuses"),
+        size(collect_set(col("l_linenumber"))).cast("long").as("n_linenums"))
+      .orderBy("l_returnflag")
+  }
+
+  private val partStaged =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Partition pruning end-to-end: write documents partitioned by lang
+    * (the at-rest layout), read back with a partition-column filter —
+    * the scan lists only the lang=en directory (PartitionFilters in the
+    * plan; a PlanSpec assertion pins it) — and aggregate. Hash-checked
+    * against the same aggregate over the unpartitioned table.
+    */
+  def qPartitionPruning(spark: SparkSession, dir: String): DataFrame = {
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_part_docs_" + dir.replaceAll("[^a-zA-Z0-9]", "_")).getAbsolutePath
+    if (partStaged.add(out))
+      Tables.documents(spark, dir)
+        .write.mode("overwrite").partitionBy("lang").parquet(out)
+    spark.read.parquet(out)
+      .filter(col("lang") === "en")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy("source")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_variant_json" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_var,
+        |  CAST(json_extract_string(props, '$.does_not_exist') AS BIGINT) AS missing
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_collect_list" ->
+      """SELECT l_returnflag,
+        |  array_to_string(list_sort(list_distinct(list(l_linestatus))), ',')
+        |    AS statuses,
+        |  CAST(len(list_distinct(list(l_linenumber))) AS BIGINT) AS n_linenums
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_partition_pruning" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents WHERE lang = 'en'
+        |GROUP BY source ORDER BY source""".stripMargin,
     "q_session_window" ->
       """WITH t AS (
         |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events),

@@ -29,12 +29,18 @@ object Streaming {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  private val stagedDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** Stage the batch events table as a parquet directory a file-source
     * stream can consume (simulates the landing zone a real feed writes).
+    * Staged once per (source, target) per JVM — both streaming gate
+    * queries share the same landing zone, so the second call is free.
     */
   def stageStreamInput(spark: SparkSession, dir: String, stageDir: String): Unit =
-    graft.Tables.events(spark, dir)
-      .write.mode("overwrite").parquet(stageDir)
+    if (stagedDirs.add(s"$dir->$stageDir"))
+      graft.Tables.events(spark, dir)
+        .write.mode("overwrite").parquet(stageDir)
 
   /** Tumbling 1-hour windowed counts with a 2-hour watermark: the
     * canonical late-data-tolerant streaming aggregate. One shuffle per

@@ -59,4 +59,10 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("*(1) HashAggregate") || p.contains("WholeStageCodegen"),
       s"aggregation not inside a codegen stage:\n${p.take(1000)}")
   }
+
+  test("partition-column filter prunes the partitioned scan") {
+    val p = plan(graft.ops.Relational7.qPartitionPruning(spark, sfDir))
+    assert(p.contains("PartitionFilters") && p.contains("lang"),
+      s"no partition filter on the partitioned read:\n${p.take(1500)}")
+  }
 }
