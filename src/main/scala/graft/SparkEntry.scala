@@ -117,6 +117,7 @@ object SparkEntry {
     "q_event_tumbling" -> (Events.qEventTumbling _),
     "q_event_sessions" -> (Events.qEventSessions _),
     "q_event_asof" -> (Events.qEventAsof _),
+    "q_event_asof_plan" -> (Events.qEventAsofPlan _),
     "q_map_funcs" -> (Events.qMapFuncs _),
     // multimodal plumbing
     "q_mm_meta" -> (Multimodal.qMmMeta _),

@@ -110,5 +110,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[CosineSimilarity].getCanonicalName, "cosine_sim"),
       GraftFunctions.cosineSimBuilder))
     ext.injectOptimizerRule(_ => graft.plans.CollapseRedundantRound)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteAsOfJoin)
   }
 }

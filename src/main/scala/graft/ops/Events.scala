@@ -83,6 +83,27 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** The same as-of join expressed through the custom Catalyst node
+    * ([[graft.plans.AsOfJoinPlan]] + [[graft.plans.RewriteAsOfJoin]]) —
+    * one declarative operator call instead of the hand-built union-tag
+    * pipeline of [[qEventAsof]]; the rewrite rule lowers it to the
+    * identical plan shape, and it shares that query's oracle semantics.
+    */
+  def qEventAsofPlan(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .withColumn("ts_sec", unix_timestamp(col("ts")))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts_sec"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts_sec").as("p_ts"),
+        col("event_id").as("p_id"))
+    graft.plans.AsOfJoin(views, purchases,
+        key = "user_id", leftTime = "ts_sec", leftTie = "event_id",
+        rightKey = "p_user", rightTime = "p_ts", rightTie = "p_id",
+        payload = "p_id", outCol = "last_purchase")
+      .orderBy("event_id")
+  }
+
   /** MapType surface: parse the JSON props into MAP<STRING,BIGINT> and
     * exercise map_keys / element access / cardinality.
     */
@@ -125,6 +146,20 @@ object Events {
         |  COUNT(*) AS n_events,
         |  MAX(gap) AS max_gap_sec
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_event_asof_plan" ->
+      """WITH t AS (
+        |  SELECT event_id, user_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+        |    CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS tag,
+        |    CASE WHEN event_type = 'purchase' THEN event_id END AS p_id
+        |  FROM events WHERE event_type IN ('purchase', 'view')),
+        |lv AS (
+        |  SELECT *, last_value(p_id IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts_sec ASC, tag ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase
+        |  FROM t)
+        |SELECT event_id, user_id, ts_sec, last_purchase FROM lv
+        |WHERE event_type = 'view' ORDER BY event_id""".stripMargin,
     "q_event_asof" ->
       """WITH t AS (
         |  SELECT event_id, user_id, event_type,

@@ -32,4 +32,21 @@ class RuleSpec extends SparkTestBase {
     val occurrences = "round\\(".r.findAllIn(optimized.toLowerCase).size
     assert(occurrences == 2, s"distinct scales must both survive:\n$optimized")
   }
+
+  test("AsOfJoinPlan rewrite matches the hand-built union-tag pipeline") {
+    val viaPlan = graft.ops.Events.qEventAsofPlan(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    val byHand = graft.ops.Events.qEventAsof(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(viaPlan.nonEmpty && viaPlan.sameElements(byHand),
+      s"plan-node as-of (${viaPlan.length} rows) != hand-built (${byHand.length})")
+    // the rewrite fired: the optimized plan is the lowered Window shape,
+    // with no AsOfJoinPlan node left for physical planning to choke on
+    val opt = graft.ops.Events.qEventAsofPlan(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    assert(!opt.contains("AsOfJoinPlan") && opt.contains("Window"),
+      s"rewrite did not lower the node:\n${opt.take(1200)}")
+  }
 }
