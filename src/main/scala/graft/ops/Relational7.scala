@@ -14,8 +14,10 @@ object Relational7 {
   /** Spark's native `session_window` generator — THE built-in
     * sessionization operator (dynamic-gap windows merged per key in one
     * shuffle). Timestamps floor to whole seconds first so the 30-minute
-    * gap boundary is engine-exact; a gap of exactly 1800 s starts a new
-    * session on both sides ([start, last+gap) merge semantics).
+    * gap boundary is engine-exact. Merge is INCLUSIVE at the boundary:
+    * an event exactly 1800 s after the previous one extends the session
+    * (verified at sf0.1 — user 511 has a boundary pair), so the
+    * oracle's island break is gap > 1800.
     */
   def qSessionWindow(spark: SparkSession, dir: String): DataFrame = {
     Tables.events(spark, dir)
@@ -173,7 +175,7 @@ object Relational7 {
         |g AS (
         |  SELECT user_id, s,
         |    CASE WHEN lag(s) OVER (PARTITION BY user_id ORDER BY s) IS NULL
-        |         OR s - lag(s) OVER (PARTITION BY user_id ORDER BY s) >= 1800
+        |         OR s - lag(s) OVER (PARTITION BY user_id ORDER BY s) > 1800
         |      THEN 1 ELSE 0 END AS brk
         |  FROM t),
         |i AS (
