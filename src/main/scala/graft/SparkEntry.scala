@@ -89,6 +89,7 @@ object SparkEntry {
     "q_variant_json" -> (graft.ops.Relational7.qVariantJson _),
     "q_collect_list" -> (graft.ops.Relational7.qCollectList _),
     "q_partition_pruning" -> (graft.ops.Relational7.qPartitionPruning _),
+    "q_topk_typed" -> (graft.ops.Typed.qTopKTyped _),
     // text analysis (documents)
     "q_text_stats" -> (Text.qTextStats _),
     "q_lang_id" -> (Text.qLangId _),
@@ -283,6 +284,7 @@ object SparkEntry {
     Multimodal.oracles ++ Relational2.oracles ++ Relational3.oracles ++
     graft.ops.Relational4.oracles ++ graft.ops.Relational5.oracles ++
     graft.ops.Relational6.oracles ++ graft.ops.Relational7.oracles ++
+    graft.ops.Typed.oracles ++
     graft.sources.Sources.oracles ++
     graft.streaming.Streaming.oracles ++ Skew.oracles
 }

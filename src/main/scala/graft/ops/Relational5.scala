@@ -61,26 +61,16 @@ object Relational5 {
       .orderBy("doc_id")
   }
 
-  /** Integer Horner hash of the first 8 hex chars of an md5 column —
-    * engine-agnostic (same trick as Dedup.hornerH), parameterized on the
-    * md5 call since Spark needs a binary cast and DuckDB hashes VARCHAR.
-    */
-  private def horner(md5expr: String): String =
-    (2 to 8).foldLeft(s"CAST(ascii(substr($md5expr, 1, 1)) AS BIGINT)") {
-      (acc, i) => s"($acc * 31 + ascii(substr($md5expr, $i, 1)))"
-    }
-
-  /** Deterministic 10% hash sample: rows whose md5-derived hash of the
-    * key ≡ 0 (mod 10), then an exact aggregate over the sample. This is
-    * the scalable sampling idiom — reproducible across runs/engines,
-    * embarrassingly parallel, no reservoir state — unlike `sample()`,
-    * whose RNG cannot match any oracle.
+  /** Deterministic 10% hash sample: rows whose Knuth-multiplicative hash
+    * of the key ≡ 0 (mod 10), then an exact aggregate over the sample.
+    * This is the scalable sampling idiom — reproducible across
+    * runs/engines, embarrassingly parallel, no reservoir state — unlike
+    * `sample()`, whose RNG cannot match any oracle. Pure 64-bit integer
+    * arithmetic (identical text on both engines), so the filter costs a
+    * multiply, not an md5.
     */
   def qSampleHash(spark: SparkSession, dir: String): DataFrame = {
-    // NB: deliberately NOT spread — the md5 filter is deterministic, so
-    // Catalyst pushes it back below any repartition and the hash work
-    // stays on the scan task while the shuffle cost is added on top.
-    val h = horner("md5(CAST(CAST(l_orderkey AS STRING) AS BINARY))")
+    val h = "((l_orderkey * 2654435761) % 4294967296)"
     Tables.lineitem(spark, dir)
       .filter(expr(s"$h % 10 = 0"))
       .groupBy(col("l_returnflag"))
@@ -154,7 +144,7 @@ object Relational5 {
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
     "q_sample_hash" -> {
-      val h = horner("md5(CAST(l_orderkey AS VARCHAR))")
+      val h = "((l_orderkey * 2654435761) % 4294967296)"
       s"""SELECT l_returnflag, COUNT(*) AS n_sampled,
          |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
          |FROM lineitem WHERE $h % 10 = 0
