@@ -100,6 +100,9 @@ object SparkEntry {
     "q_fingerprint_rolling" -> (Text.qFingerprintRolling _),
     "q_mm_frames" -> (Multimodal.qMmFrames _),
     "q_text_redact" -> (Text.qTextRedact _),
+    "q_text_chunk" -> (Text.qTextChunk _),
+    "q_contamination" -> (Text.qContamination _),
+    "q_text_repetition" -> (Text.qTextRepetition _),
     // dedup
     "q_dedup_exact" -> (Dedup.qDedupExact _),
     "q_dedup_minhash" -> (Dedup.qDedupMinhash _),

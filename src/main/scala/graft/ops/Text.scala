@@ -201,7 +201,102 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Document chunking for training pipelines: 32-token chunks, stride
+    * 24 (8-token overlap), trailing partial chunks dropped unless the
+    * doc fits in one. Emits a digest per chunk — narrow per-row work,
+    * the exact shape a tokenize-and-pack stage runs at corpus scale.
+    */
+  def qTextChunk(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documentsSpread(spark, dir)
+      .withColumn("w", split(lower(col("text")), " ", -1))
+      .select(col("doc_id"), col("w"), explode(expr(
+        "filter(sequence(1, size(w), 24), s -> s = 1 OR s + 31 <= size(w))"))
+        .as("s"))
+      .select(col("doc_id"),
+        expr("CAST((s - 1) div 24 AS BIGINT)").as("chunk_idx"),
+        expr("CAST(least(32, size(w) - s + 1) AS BIGINT)").as("chunk_len"),
+        expr("md5(CAST(concat_ws(' ', slice(w, s, least(32, size(w) - s + 1))) AS BINARY))")
+          .as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** Benchmark-contamination check: which documents contain any probe
+    * phrase (the n-gram-overlap-against-eval-set shape). Probes
+    * broadcast as a literal array; the scan stays a narrow filter.
+    */
+  private val contaminationProbes = Seq(
+    "table key filter", "stream data filter", "row value spark",
+    "zz no such phrase")
+
+  def qContamination(spark: SparkSession, dir: String): DataFrame = {
+    val arr = contaminationProbes.map(p => s"'$p'")
+      .mkString("array(", ", ", ")")
+    Tables.documentsSpread(spark, dir)
+      .withColumn("hits", expr(s"filter($arr, p -> contains(lower(text), p))"))
+      .filter(size(col("hits")) > 0)
+      .select(col("doc_id"),
+        size(col("hits")).cast("long").as("n_hits"),
+        array_join(col("hits"), "|").as("hits"))
+      .orderBy("doc_id")
+  }
+
+  /** Repetition filters (Gopher-style): distinct-token ratio and the
+    * fraction of bigrams taken by the most frequent bigram — the
+    * boilerplate/degenerate-text detectors that run before training.
+    */
+  def qTextRepetition(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documentsSpread(spark, dir)
+      .withColumn("w", split(lower(col("text")), " ", -1))
+      .filter(size(col("w")) >= 2)
+      .withColumn("bg", expr(
+        "transform(sequence(1, size(w) - 1), i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        round(size(array_distinct(col("w"))).cast("double") / size(col("w")), 6)
+          .as("distinct_ratio"),
+        round(expr(
+          "CAST(array_max(transform(array_distinct(bg), x -> size(filter(bg, y -> y = x)))) AS DOUBLE)")
+          / size(col("bg")), 6).as("top_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_text_chunk" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+        |           FROM documents),
+        |c AS (
+        |  SELECT doc_id, unnest(list_filter(range(1, len(w)+1, 24),
+        |    s -> s = 1 OR s + 31 <= len(w))) AS s, w
+        |  FROM t)
+        |SELECT doc_id, CAST((s - 1) // 24 AS BIGINT) AS chunk_idx,
+        |  CAST(least(32, len(w) - s + 1) AS BIGINT) AS chunk_len,
+        |  md5(array_to_string(w[s : s + least(32, len(w) - s + 1) - 1], ' '))
+        |    AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_contamination" -> {
+      val arr = contaminationProbes.map(p => s"'$p'").mkString("[", ", ", "]")
+      s"""SELECT doc_id,
+         |  CAST(len(list_filter($arr, p -> contains(lower(text), p))) AS BIGINT)
+         |    AS n_hits,
+         |  array_to_string(list_filter($arr, p -> contains(lower(text), p)), '|')
+         |    AS hits
+         |FROM documents
+         |WHERE len(list_filter($arr, p -> contains(lower(text), p))) > 0
+         |ORDER BY doc_id""".stripMargin
+    },
+    "q_text_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+        |           FROM documents),
+        |b AS (SELECT doc_id, w,
+        |        list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS bg
+        |      FROM t)
+        |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+        |  round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6)
+        |    AS distinct_ratio,
+        |  round(CAST(list_max(list_transform(list_distinct(bg),
+        |    x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE) / len(bg), 6)
+        |    AS top_bigram_frac
+        |FROM b WHERE len(w) >= 2 ORDER BY doc_id""".stripMargin,
     "q_fingerprint_rolling" -> {
       val wh = windowHashExpr(j => s"hv[i + $j]")
       s"""WITH toks AS (
