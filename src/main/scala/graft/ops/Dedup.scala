@@ -121,7 +121,10 @@ object Dedup {
     * frequency cap (filter on size(ds)) before the pair explosion —
     * this corpus has none, so lists stay tiny.
     */
-  def qDedupJaccard(spark: SparkSession, dir: String): DataFrame = {
+  /** All co-shingle pairs with exact Jaccard ≥ minJ (see
+    * [[qDedupJaccard]] for the shape discussion).
+    */
+  def jaccardPairs(spark: SparkSession, dir: String, minJ: Double): DataFrame = {
     val docs = Tables.documentsSpread(spark, dir)
       .withColumn("w", split(lower(col("text")), " ", -1))
       .withColumn("sh", expr(
@@ -146,9 +149,32 @@ object Dedup {
       .agg(count(lit(1)).as("shared"))
       .withColumn("jaccard",
         col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
-      .filter(col("jaccard") >= 0.1)
+      .filter(col("jaccard") >= minJ)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy("doc_a", "doc_b")
+  }
+
+  def qDedupJaccard(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairs(spark, dir, 0.1).orderBy("doc_a", "doc_b")
+
+  /** LSH-candidate quality measurement: every production dedup pipeline
+    * needs to know what its candidate generator is worth. Joins the
+    * MinHash band candidates against exact Jaccard over all co-shingle
+    * pairs and reports candidate count, how many could be scored, how
+    * many are true near-dups (J ≥ 0.5), and the mean Jaccard (decimal-
+    * summed so the average is order-independent). One extra shuffle on
+    * the pair key over the two underlying pipelines.
+    */
+  def qDedupQuality(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cand = qDedupMinhash(spark, dir).select(col("doc_a"), col("doc_b"))
+    val jac = jaccardPairs(spark, dir, 0.0)
+    cand.join(jac, Seq("doc_a", "doc_b"), "left")
+      .agg(count(lit(1)).as("n_candidates"),
+        count(col("jaccard")).as("n_scored"),
+        sum(when(col("jaccard") >= 0.5, 1L).otherwise(0L)).as("n_good"),
+        round(sum(coalesce(col("jaccard"), lit(0.0))
+            .cast(DecimalType(18, 12))).cast("double") / count(lit(1)), 6)
+          .as("avg_jaccard"))
   }
 
   /** 16-bit SimHash over distinct word tokens; bit b of md5(word) is
@@ -344,6 +370,26 @@ object Dedup {
          |  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.doc)
          |SELECT doc AS doc_id, MIN(root) AS canonical_id
          |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin,
+    "q_dedup_quality" ->
+      s"""WITH $minhashPairsCtes,
+         |dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+         |card AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+         |  FROM dsh a JOIN dsh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |jac AS (
+         |  SELECT doc_a, doc_b,
+         |    CAST(shared AS DOUBLE)/(ca.n + cb.n - shared) AS j
+         |  FROM inter
+         |  JOIN card ca ON ca.doc_id = doc_a
+         |  JOIN card cb ON cb.doc_id = doc_b)
+         |SELECT COUNT(*) AS n_candidates, COUNT(j) AS n_scored,
+         |  CAST(SUM(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+         |  round(CAST(SUM(CAST(coalesce(j, 0.0) AS DECIMAL(18,12))) AS DOUBLE)
+         |    / COUNT(*), 6) AS avg_jaccard
+         |FROM pairs p
+         |LEFT JOIN jac ON p.doc_a = jac.doc_a AND p.doc_b = jac.doc_b""".stripMargin,
     "q_dedup_jaccard" ->
       (shingleSqlCte +
         """,
