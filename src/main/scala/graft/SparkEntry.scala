@@ -73,6 +73,8 @@ object SparkEntry {
     "q_window_range" -> (graft.ops.Relational5.qWindowRange _),
     "q_stream_tumbling" -> (graft.streaming.Streaming.qStreamTumbling _),
     "q_stream_sessions" -> (graft.streaming.Streaming.qStreamSessions _),
+    "q_stream_sliding" -> (graft.streaming.Streaming.qStreamSliding _),
+    "q_join_hinted" -> (graft.ops.Relational7.qJoinHinted _),
     "q_stats_agg" -> (graft.ops.Relational6.qStatsAgg _),
     "q_string_funcs2" -> (graft.ops.Relational6.qStringFuncs2 _),
     "q_date_funcs2" -> (graft.ops.Relational6.qDateFuncs2 _),

@@ -74,6 +74,24 @@ object Relational7 {
         |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin)
   }
 
+  /** Join-strategy hints: force a sort-merge join where the planner
+    * would broadcast (the production lever when a "small" side isn't —
+    * e.g. after a selective-looking filter that isn't selective at full
+    * scale). PlanSpec pins that the hint actually flips the strategy;
+    * values match the unhinted oracle, proving hints are plan-only.
+    */
+  def qJoinHinted(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir).hint("merge")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice")
+          .cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+          .cast("double").as("total"))
+      .orderBy("c_mktsegment")
+  }
+
   /** Bitwise battery: and / or / xor / shifts on the key column. */
   def qBitwise(spark: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(spark, dir)
@@ -207,6 +225,11 @@ object Relational7 {
         |  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) o
         |WHERE c.c_acctbal > 9500
         |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin,
+    "q_join_hinted" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_bitwise" ->
       """SELECT l_orderkey,
         |  l_orderkey & 255 AS b_and,

@@ -130,6 +130,29 @@ object Streaming {
       .orderBy("hour_start", "event_type")
   }
 
+  /** Sliding windows on the stream: 1-hour windows every 30 minutes
+    * (each event lands in two), watermarked, run to completion — the
+    * third streaming shape in the gate besides tumbling and session
+    * state. Shares the batch sliding-window oracle semantics.
+    */
+  def qStreamSliding(spark: SparkSession, dir: String): DataFrame = {
+    val stage = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_stream_stage_" + dir.replaceAll("[^a-zA-Z0-9]", "_"))
+      .getAbsolutePath
+    stageStreamInput(spark, dir, stage)
+    val agg = spark.readStream.schema(eventSchema).parquet(stage)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    runToMemory(agg, s"graft_stream_sliding_${runSeq.incrementAndGet()}",
+        OutputMode.Complete())
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("win_start"),
+        col("event_type"), col("n_events"))
+      .orderBy("win_start", "event_type")
+  }
+
   /** Custom stateful streaming in the driver gate: [[sessionize]]
     * (mapGroupsWithState, 30-minute gap rule) run to completion with
     * Trigger.AvailableNow. The staged input is a single file, so the
@@ -154,6 +177,17 @@ object Streaming {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_stream_sliding" ->
+      """SELECT strftime(to_timestamp(win_start), '%Y-%m-%d %H:%M:%S') AS win_start,
+        |  event_type, COUNT(*) AS n_events FROM (
+        |  SELECT event_type, sec,
+        |    unnest([CAST(sec // 1800 AS BIGINT) * 1800 - 1800,
+        |            CAST(sec // 1800 AS BIGINT) * 1800]) AS win_start
+        |  FROM (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |        FROM events))
+        |WHERE sec >= win_start AND sec < win_start + 3600
+        |GROUP BY win_start, event_type ORDER BY win_start, event_type"""
+        .stripMargin,
     "q_stream_sessions" ->
       """WITH t AS (
         |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, event_id

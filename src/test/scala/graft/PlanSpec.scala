@@ -60,6 +60,12 @@ class PlanSpec extends SparkTestBase {
       s"aggregation not inside a codegen stage:\n${p.take(1000)}")
   }
 
+  test("merge hint flips the customer join to sort-merge") {
+    val p = plan(graft.ops.Relational7.qJoinHinted(spark, sfDir))
+    assert(p.contains("SortMergeJoin"),
+      s"merge hint ignored (expected SortMergeJoin):\n${p.take(1500)}")
+  }
+
   test("partition-column filter prunes the partitioned scan") {
     val p = plan(graft.ops.Relational7.qPartitionPruning(spark, sfDir))
     assert(p.contains("PartitionFilters") && p.contains("lang"),
