@@ -70,13 +70,19 @@ object Dedup {
     * the signature build is map-side partial-min, one shuffle on
     * (doc_id, p), and the candidate join touches only band-key buckets.
     */
-  def qDedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    // No shingle-distinct here: MIN is duplicate-insensitive, so skipping
-    // the dedup shuffle changes nothing. All 16 permutation minima are
-    // computed as 16 agg columns in ONE groupBy(doc_id) — map-side
-    // partial mins, a single shuffle of 16 longs per doc, no row
-    // explosion. Band keys are then a narrow per-doc projection.
-    val sh = Tables.documentsSpread(spark, dir)
+  def qDedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    minhashPairsOf(Tables.documentsSpread(spark, dir))
+      .orderBy("doc_a", "doc_b")
+
+  /** The MinHash+LSH candidate pipeline over any (doc_id, text) frame.
+    * No shingle-distinct here: MIN is duplicate-insensitive, so skipping
+    * the dedup shuffle changes nothing. All 16 permutation minima are
+    * computed as 16 agg columns in ONE groupBy(doc_id) — map-side
+    * partial mins, a single shuffle of 16 longs per doc, no row
+    * explosion. Band keys are then a narrow per-doc projection.
+    */
+  def minhashPairsOf(docs: DataFrame): DataFrame = {
+    val sh = docs
       .withColumn("w", split(lower(col("text")), " ", -1))
       .select(col("doc_id"), explode(expr(
         """CASE WHEN size(w) >= 3 THEN
@@ -104,7 +110,6 @@ object Dedup {
         && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-      .orderBy("doc_a", "doc_b")
   }
 
   /** Exact n-gram Jaccard via inverted posting lists.
@@ -124,8 +129,12 @@ object Dedup {
   /** All co-shingle pairs with exact Jaccard ≥ minJ (see
     * [[qDedupJaccard]] for the shape discussion).
     */
-  def jaccardPairs(spark: SparkSession, dir: String, minJ: Double): DataFrame = {
-    val docs = Tables.documentsSpread(spark, dir)
+  def jaccardPairs(spark: SparkSession, dir: String, minJ: Double): DataFrame =
+    jaccardPairsOf(Tables.documentsSpread(spark, dir), minJ)
+
+  /** Same pipeline over any (doc_id, text) frame. */
+  def jaccardPairsOf(docsIn: DataFrame, minJ: Double): DataFrame = {
+    val docs = docsIn
       .withColumn("w", split(lower(col("text")), " ", -1))
       .withColumn("sh", expr(
         """CASE WHEN size(w) >= 3 THEN
@@ -189,12 +198,17 @@ object Dedup {
     s"CASE WHEN (CAST(instr('0123456789abcdef', substr(m, ${b / 4 + 1}, 1)) - 1 AS BIGINT) " +
       s"$intdiv ${1 << (3 - b % 4)}) % 2 = 1 THEN 1 ELSE -1 END"
 
-  def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    // One md5 per distinct (doc, word); per-doc token dedup happens
-    // map-side via array_distinct (no distinct shuffle), and all 16
-    // bit-sums ride a single groupBy(doc_id) with map-side partial
-    // aggregation — no 16× row explosion, one shuffle end-to-end.
-    val toks = Tables.documentsSpread(spark, dir)
+  def qDedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    simhashGroupsOf(Tables.documentsSpread(spark, dir))
+
+  /** Same pipeline over any (doc_id, text) frame.
+    * One md5 per distinct (doc, word); per-doc token dedup happens
+    * map-side via array_distinct (no distinct shuffle), and all 16
+    * bit-sums ride a single groupBy(doc_id) with map-side partial
+    * aggregation — no 16× row explosion, one shuffle end-to-end.
+    */
+  def simhashGroupsOf(docs: DataFrame): DataFrame = {
+    val toks = docs
       .select(col("doc_id"),
         explode(array_distinct(split(lower(col("text")), " ", -1))).as("w"))
       .withColumn("m", md5(col("w").cast("binary")))
