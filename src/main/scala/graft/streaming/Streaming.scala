@@ -153,6 +153,35 @@ object Streaming {
       .orderBy("win_start", "event_type")
   }
 
+  /** Stream-stream inner join — the hardest streaming operator class:
+    * both sides buffer watermark-bounded state, and the time-range
+    * predicate lets Spark evict it. Views join purchases by the same
+    * user within the preceding hour; timestamps floor to whole seconds
+    * before the watermark so range boundaries are engine-exact. Run to
+    * completion with Trigger.AvailableNow (inner joins emit matches as
+    * found — nothing is held back at stream end).
+    */
+  def qStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val stage = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_stream_stage_" + dir.replaceAll("[^a-zA-Z0-9]", "_"))
+      .getAbsolutePath
+    stageStreamInput(spark, dir, stage)
+    def side(tpe: String, prefix: String) =
+      spark.readStream.schema(eventSchema).parquet(stage)
+        .filter(col("event_type") === tpe)
+        .select(col("user_id").as(s"${prefix}_user"),
+          expr("timestamp_seconds(unix_timestamp(ts))").as(s"${prefix}_ts"),
+          col("event_id").as(s"${prefix}_id"))
+        .withWatermark(s"${prefix}_ts", "2 hours")
+    val joined = side("view", "v").join(side("purchase", "p"),
+      expr("v_user = p_user AND p_ts BETWEEN v_ts - INTERVAL 1 HOUR AND v_ts"),
+      "inner")
+    runToMemory(joined, s"graft_stream_join_${runSeq.incrementAndGet()}",
+        OutputMode.Append())
+      .select(col("v_id"), col("p_id"), col("v_user").as("user_id"))
+      .orderBy("v_id", "p_id")
+  }
+
   /** Custom stateful streaming in the driver gate: [[sessionize]]
     * (mapGroupsWithState, 30-minute gap rule) run to completion with
     * Trigger.AvailableNow. The staged input is a single file, so the
@@ -177,6 +206,15 @@ object Streaming {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_stream_join" ->
+      """SELECT v.event_id AS v_id, p.event_id AS p_id, v.user_id
+        |FROM events v JOIN events p
+        |  ON v.user_id = p.user_id
+        |  AND v.event_type = 'view' AND p.event_type = 'purchase'
+        |  AND CAST(floor(epoch(p.ts)) AS BIGINT)
+        |    BETWEEN CAST(floor(epoch(v.ts)) AS BIGINT) - 3600
+        |        AND CAST(floor(epoch(v.ts)) AS BIGINT)
+        |ORDER BY v_id, p_id""".stripMargin,
     "q_stream_sliding" ->
       """SELECT strftime(to_timestamp(win_start), '%Y-%m-%d %H:%M:%S') AS win_start,
         |  event_type, COUNT(*) AS n_events FROM (
