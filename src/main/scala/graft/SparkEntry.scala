@@ -93,6 +93,7 @@ object SparkEntry {
     "q_collect_list" -> (graft.ops.Relational7.qCollectList _),
     "q_partition_pruning" -> (graft.ops.Relational7.qPartitionPruning _),
     "q_topk_typed" -> (graft.ops.Typed.qTopKTyped _),
+    "q_cogroup" -> (graft.ops.Typed.qCogroup _),
     // text analysis (documents)
     "q_text_stats" -> (Text.qTextStats _),
     "q_lang_id" -> (Text.qLangId _),

@@ -33,7 +33,37 @@ object Typed {
       .orderBy("o_orderpriority", "o_orderkey")
   }
 
+  /** Typed cogroup — the MapReduce "reducer over two tagged streams"
+    * primitive (how the reference would express a join: tag-union →
+    * shuffle on key → per-group custom logic). Both sides shuffle once
+    * on the key; the lambda sees each side's full group. Emits per-key
+    * order counts with a customer-presence flag, reproducible as a
+    * FULL OUTER aggregate in SQL.
+    */
+  def qCogroup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey")).as[(Long, Long)]
+      .groupByKey(_._1)
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name")).as[(Long, String)]
+      .groupByKey(_._1)
+    o.cogroup(c) { (k, os, cs) =>
+        Iterator((k, os.size.toLong, cs.nonEmpty))
+      }
+      .toDF("custkey", "n_orders", "has_customer")
+      .orderBy("custkey")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_cogroup" ->
+      """SELECT coalesce(o.k, c.c_custkey) AS custkey,
+        |  coalesce(o.n, 0) AS n_orders,
+        |  c.c_custkey IS NOT NULL AS has_customer
+        |FROM (SELECT o_custkey AS k, COUNT(*) AS n
+        |      FROM orders GROUP BY o_custkey) o
+        |FULL JOIN customer c ON o.k = c.c_custkey
+        |ORDER BY custkey""".stripMargin,
     "q_topk_typed" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,
