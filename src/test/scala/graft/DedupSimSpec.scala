@@ -110,4 +110,22 @@ class DedupSimSpec extends SparkTestBase {
       assert(r.getLong(2) <= r.getLong(1))
     }
   }
+
+  test("LSH guarantee: exact duplicates are ALWAYS minhash candidates") {
+    // J=1 pairs have identical signatures, so every band matches — the
+    // one deterministic promise banded LSH makes. Clone 10 docs with
+    // fresh ids and assert each (orig, clone) pair surfaces.
+    import org.apache.spark.sql.functions._
+    val base = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 10 && size(split(col("text"), " ", -1)) >= 3)
+    val offset = 100000L
+    val cloned = base.withColumn("doc_id", col("doc_id") + offset)
+    val pairs = Dedup.minhashPairsOf(base.unionByName(cloned))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = base.select("doc_id").collect().map(_.getLong(0))
+      .map(id => (id, id + offset)).toSet
+    assert(expected.nonEmpty)
+    val missing = expected -- pairs
+    assert(missing.isEmpty, s"duplicate pairs not surfaced: $missing")
+  }
 }
