@@ -83,6 +83,7 @@ object SparkEntry {
     "q_map_hof" -> (graft.ops.Relational6.qMapHof _),
     "q_explode_outer" -> (graft.ops.Relational6.qExplodeOuter _),
     "q_union_by_name" -> (graft.ops.Relational6.qUnionByName _),
+    "q_try_funcs" -> (graft.ops.Relational6.qTryFuncs _),
     "q_sink_roundtrip" -> (graft.sources.Sources.qSinkRoundtrip _),
     "q_session_window" -> (graft.ops.Relational7.qSessionWindow _),
     "q_sql_entry" -> (graft.ops.Relational7.qSqlEntry _),

@@ -138,7 +138,33 @@ object Relational6 {
       .orderBy("bal_bucket")
   }
 
+  /** Error-safe expressions: try_cast on castable and uncastable
+    * strings, try_divide's null-on-zero — the ANSI-mode-safe surface
+    * that keeps a 100 TB job from dying on one malformed row.
+    */
+  def qTryFuncs(spark: SparkSession, dir: String): DataFrame = {
+    Tables.part(spark, dir)
+      .select(col("p_partkey"),
+        expr("try_cast(CAST(p_partkey AS STRING) AS INT)").cast("long")
+          .as("key_roundtrip"),
+        expr("try_cast(p_name AS INT)").cast("long").as("name_as_int"),
+        expr("try_cast(substring(p_type, 1, 2) AS DOUBLE)").as("type_pfx_num"),
+        expr("try_divide(CAST(p_partkey AS DOUBLE), CAST(p_partkey % 3 AS DOUBLE))")
+          .as("div_or_null"))
+      .orderBy("p_partkey")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_try_funcs" ->
+      """SELECT p_partkey,
+        |  CAST(TRY_CAST(CAST(p_partkey AS VARCHAR) AS INT) AS BIGINT)
+        |    AS key_roundtrip,
+        |  CAST(TRY_CAST(p_name AS INT) AS BIGINT) AS name_as_int,
+        |  TRY_CAST(substring(p_type, 1, 2) AS DOUBLE) AS type_pfx_num,
+        |  CASE WHEN p_partkey % 3 = 0 THEN NULL
+        |       ELSE CAST(p_partkey AS DOUBLE) / CAST(p_partkey % 3 AS DOUBLE)
+        |  END AS div_or_null
+        |FROM part ORDER BY p_partkey""".stripMargin,
     "q_stats_agg" ->
       """WITH m AS (
         |  SELECT l_returnflag, COUNT(*) AS n,
