@@ -51,6 +51,38 @@ object ScaleProbe {
       time(s"jaccard ${k}x")(graft.ops.Dedup.jaccardPairsOf(docs, 0.1).count())
       docs.unpersist()
     }
+
+    // similarity paths: replicate embeddings k× and score one query
+    // vector — brute force is O(n); the LSH probe touches ~n/2^bits
+    def scaledEmb(k: Int): DataFrame = {
+      val base = graft.Tables.embeddings(spark, sfDir)
+      val n = base.count()
+      (0 until k).map { i =>
+        base.withColumn("vec_id", col("vec_id") + lit(i * n))
+      }.reduce(_ union _).repartition(cpus.toInt)
+    }
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    Seq(1, 4, 10).foreach { k =>
+      val e = scaledEmb(k).cache()
+      e.count()
+      val q = broadcast(e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb")))
+      time(s"sim brute ${k}x")(
+        e.filter(col("vec_id") =!= 0).crossJoin(q)
+          .select(col("vec_id"),
+            expr("cosine_sim(embedding, q_emb)").as("c"))
+          .orderBy(col("c").desc, col("vec_id").asc).limit(10).count())
+      val bucketed = e.withColumn("bucket", graft.ops.Sim.bucketExpr)
+      val qb = broadcast(bucketed.filter(col("vec_id") === 0)
+        .select(col("bucket").as("q_bucket"), col("embedding").as("q_emb")))
+      time(s"sim lsh ${k}x")(
+        bucketed.filter(col("vec_id") =!= 0)
+          .join(qb, col("bucket") === col("q_bucket"))
+          .select(col("vec_id"),
+            expr("cosine_sim(embedding, q_emb)").as("c"))
+          .orderBy(col("c").desc, col("vec_id").asc).limit(5).count())
+      e.unpersist()
+    }
     spark.stop()
   }
 }
