@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+
+/** The user-facing API of the engine — what a user of the reference
+  * framework calls instead of writing mapper/reducer executables. Each
+  * method is a thin, documented delegate to the frame-parameterized
+  * operator implementations (see the `ops` package for the plan-shape
+  * discussion and `OPERATORS.md` for the full catalogue; every operator
+  * also runs as a named, oracle-checked query in [[SparkEntry]]).
+  *
+  * All operators take and return DataFrames, so they compose with the
+  * whole `org.apache.spark.sql` surface; none of them collect row-scale
+  * data to the driver.
+  */
+object Graft {
+
+  /** MapReduce-parity kernels (the reference's own workloads). */
+  object mr {
+    /** Hadoop-Streaming-style tokenized word count (`tr` semantics,
+      * empty tokens kept) over a one-string-column frame.
+      */
+    def wordCount(lines: DataFrame): DataFrame =
+      ops.Core.wordCountTrLines(lines)
+
+    /** Stream a Dataset through an external executable, one process per
+      * partition (the reference's mapper/reducer contract).
+      */
+    def pipe(input: Dataset[String], command: String): Dataset[String] =
+      ops.Core.pipeLines(input, command)
+
+    /** Reference sink parity: key\tvalue lines, hash-partitioned and
+      * sorted per partition, overwrite semantics.
+      */
+    def writeKvText(df: DataFrame, keyCol: String, valCol: String,
+      outDir: String, numPartitions: Int): Unit =
+      sources.Sources.writeKvText(df, keyCol, valCol, outDir, numPartitions)
+  }
+
+  /** Deduplication toolbox over any (doc_id LONG, text STRING) frame. */
+  object dedup {
+    /** MinHash + banded-LSH candidate pairs (16 perms, 4×4 bands). */
+    def minhashCandidates(docs: DataFrame): DataFrame =
+      ops.Dedup.minhashPairsOf(docs)
+
+    /** Exact n-gram Jaccard over co-shingle pairs with J ≥ minJ. */
+    def jaccardPairs(docs: DataFrame, minJ: Double): DataFrame =
+      ops.Dedup.jaccardPairsOf(docs, minJ)
+
+    /** 16-bit SimHash duplicate groups (signature → count > 1). */
+    def simhashGroups(docs: DataFrame): DataFrame =
+      ops.Dedup.simhashGroupsOf(docs)
+
+    /** Connected components over candidate pairs (doc_a, doc_b):
+      * canonical id = component minimum. Size-adaptive strategy.
+      */
+    def resolveComponents(spark: SparkSession, pairs: DataFrame): DataFrame =
+      ops.Dedup.resolveComponents(spark, pairs,
+        ops.Dedup.ResolveDriverThreshold)
+  }
+
+  /** Similarity search primitives over ArrayType(FloatType) columns. */
+  object sim {
+    /** Codegen'd cosine similarity between two float-array columns —
+      * registers the native expression on the session if needed.
+      */
+    def cosine(spark: SparkSession, a: Column, b: Column): Column = {
+      functions.GraftFunctions.ensureRegistered(spark)
+      org.apache.spark.sql.functions.call_function("cosine_sim", a, b)
+    }
+
+    /** 4-sign-bit LSH bucket id for an embedding column (partition /
+      * prune key for ANN probes).
+      */
+    def lshBucket: Column = ops.Sim.bucketExpr
+  }
+
+  /** Event-time operators. */
+  object events {
+    /** As-of join through the custom Catalyst plan node: each left row
+      * picks up the most recent right `payload` at-or-before its time,
+      * per key — lowered to one shuffle + running window by
+      * [[plans.RewriteAsOfJoin]].
+      */
+    def asofJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, leftTie: String, rightKey: String,
+      rightTime: String, rightTie: String, payload: String,
+      outCol: String): DataFrame =
+      plans.AsOfJoin(left, right, key, leftTime, leftTie, rightKey,
+        rightTime, rightTie, payload, outCol)
+  }
+}
