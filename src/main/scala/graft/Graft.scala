@@ -75,6 +75,29 @@ object Graft {
     def lshBucket: Column = ops.Sim.bucketExpr
   }
 
+  /** Text-analysis operators over any (doc_id LONG, text STRING, ...)
+    * frame — the pre-training filter/feature stages.
+    */
+  object text {
+    /** C4/Gopher-style quality scores + keep flag (needs n_chars). */
+    def quality(docs: DataFrame): DataFrame = ops.Text.qualityOf(docs)
+
+    /** Stopword-scored language ID. */
+    def langId(docs: DataFrame): DataFrame = ops.Text.langIdOf(docs)
+
+    /** Whitespace / regex / chars-per-4 token counts. */
+    def tokenCounts(docs: DataFrame): DataFrame = ops.Text.tokenCountOf(docs)
+
+    /** Normalized-content md5 fingerprint (exact-dedup key). */
+    def fingerprint(docs: DataFrame): DataFrame = ops.Text.fingerprintOf(docs)
+
+    /** 32-token / stride-24 chunks with per-chunk digests. */
+    def chunks(docs: DataFrame): DataFrame = ops.Text.chunksOf(docs)
+
+    /** Distinct-token ratio + top-bigram fraction repetition filters. */
+    def repetition(docs: DataFrame): DataFrame = ops.Text.repetitionOf(docs)
+  }
+
   /** Event-time operators. */
   object events {
     /** As-of join through the custom Catalyst plan node: each left row

@@ -47,8 +47,12 @@ object Text {
     * *operator* (deterministic, oracle-checkable scoring), not model
     * quality; a real model would slot into the same per-row shape.
     */
-  def qLangId(spark: SparkSession, dir: String): DataFrame = {
-    Tables.documentsSpread(spark, dir)
+  def qLangId(spark: SparkSession, dir: String): DataFrame =
+    langIdOf(Tables.documentsSpread(spark, dir))
+
+  /** Same operator over any (doc_id, text, ...) frame. */
+  def langIdOf(docs: DataFrame): DataFrame = {
+    docs
       .withColumn("s_en", expr(stopScore(stopEn)))
       .withColumn("s_de", expr(stopScore(stopDe)))
       .withColumn("s_fr", expr(stopScore(stopFr)))
@@ -69,8 +73,12 @@ object Text {
     * The score expression tree is identical on the oracle side, so the
     * doubles match bit-for-bit.
     */
-  def qQuality(spark: SparkSession, dir: String): DataFrame = {
-    Tables.documentsSpread(spark, dir)
+  def qQuality(spark: SparkSession, dir: String): DataFrame =
+    qualityOf(Tables.documentsSpread(spark, dir))
+
+  /** Same operator over any (doc_id, text, ...) frame. */
+  def qualityOf(docs: DataFrame): DataFrame = {
+    docs
       .withColumn("n_tokens", size(split(col("text"), " ", -1)).cast("long"))
       .withColumn("n_stop", expr(stopScore(stopEn)))
       .withColumn("n_punct",
@@ -95,8 +103,12 @@ object Text {
   /** Token counting three ways: whitespace tokens, alpha "BPE-ish" regex
     * tokens, and the chars/4 LLM-token estimate.
     */
-  def qTokenCount(spark: SparkSession, dir: String): DataFrame = {
-    Tables.documentsSpread(spark, dir)
+  def qTokenCount(spark: SparkSession, dir: String): DataFrame =
+    tokenCountOf(Tables.documentsSpread(spark, dir))
+
+  /** Same operator over any (doc_id, text, ...) frame. */
+  def tokenCountOf(docs: DataFrame): DataFrame = {
+    docs
       .select(
         col("doc_id"),
         expr("CAST(size(filter(split(text, '\\\\s+', -1), t -> t <> '')) AS BIGINT)")
@@ -111,8 +123,12 @@ object Text {
     * the exact-dedup key. Emitted per document; exact duplicates share a
     * fingerprint.
     */
-  def qFingerprint(spark: SparkSession, dir: String): DataFrame = {
-    Tables.documentsSpread(spark, dir)
+  def qFingerprint(spark: SparkSession, dir: String): DataFrame =
+    fingerprintOf(Tables.documentsSpread(spark, dir))
+
+  /** Same operator over any (doc_id, text, ...) frame. */
+  def fingerprintOf(docs: DataFrame): DataFrame = {
+    docs
       .select(col("doc_id"),
         md5(regexp_replace(lower(col("text")), "[^a-z0-9]", "")
           .cast("binary")).as("fp"))
@@ -206,8 +222,12 @@ object Text {
     * doc fits in one. Emits a digest per chunk — narrow per-row work,
     * the exact shape a tokenize-and-pack stage runs at corpus scale.
     */
-  def qTextChunk(spark: SparkSession, dir: String): DataFrame = {
-    Tables.documentsSpread(spark, dir)
+  def qTextChunk(spark: SparkSession, dir: String): DataFrame =
+    chunksOf(Tables.documentsSpread(spark, dir))
+
+  /** Same operator over any (doc_id, text, ...) frame. */
+  def chunksOf(docs: DataFrame): DataFrame = {
+    docs
       .withColumn("w", split(lower(col("text")), " ", -1))
       .select(col("doc_id"), col("w"), explode(expr(
         "filter(sequence(1, size(w), 24), s -> s = 1 OR s + 31 <= size(w))"))
@@ -244,8 +264,12 @@ object Text {
     * fraction of bigrams taken by the most frequent bigram — the
     * boilerplate/degenerate-text detectors that run before training.
     */
-  def qTextRepetition(spark: SparkSession, dir: String): DataFrame = {
-    Tables.documentsSpread(spark, dir)
+  def qTextRepetition(spark: SparkSession, dir: String): DataFrame =
+    repetitionOf(Tables.documentsSpread(spark, dir))
+
+  /** Same operator over any (doc_id, text, ...) frame. */
+  def repetitionOf(docs: DataFrame): DataFrame = {
+    docs
       .withColumn("w", split(lower(col("text")), " ", -1))
       .filter(size(col("w")) >= 2)
       .withColumn("bg", expr(

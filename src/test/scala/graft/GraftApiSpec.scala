@@ -31,6 +31,19 @@ class GraftApiSpec extends SparkTestBase {
       s"self-cosine should be 1.0, got $c"))
   }
 
+  test("Graft.text lane runs on an ad-hoc corpus") {
+    import spark.implicits._
+    val docs = Seq((1L, "the quick brown fox and the lazy dog", "web"),
+        (2L, "to be or not to be is the question of it", "web"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    assert(Graft.text.quality(docs).count() == 2)
+    assert(Graft.text.langId(docs).collect().forall(_.getString(1) == "en"))
+    assert(Graft.text.fingerprint(docs).select("fp").distinct().count() == 2)
+    assert(Graft.text.chunks(docs).count() == 2) // one chunk per short doc
+    assert(Graft.text.repetition(docs).count() == 2)
+  }
+
   test("Graft.events.asofJoin on ad-hoc frames") {
     import spark.implicits._
     val l = Seq((1L, 10L, 100L), (2L, 10L, 200L)).toDF("id", "k", "t")
