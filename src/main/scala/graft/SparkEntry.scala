@@ -132,6 +132,7 @@ object SparkEntry {
     // multimodal plumbing
     "q_mm_meta" -> (Multimodal.qMmMeta _),
     "q_mm_features" -> (Multimodal.qMmFeatures _),
+    "q_mm_resize" -> (Multimodal.qMmResize _),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver t2 gate).

@@ -112,6 +112,30 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Resize through the mapPartitions pipeline: every payload strided
+    * down to ≤64 bytes (identity when already smaller), digest emitted —
+    * bounded output per row regardless of input size, the shape a real
+    * image-resize stage has. The stride arithmetic (one double division,
+    * then per-index multiply+floor) is replayed exactly by the oracle on
+    * the ASCII bytes.
+    */
+  def qMmResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    binarize(spark, dir)
+      .select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition decoder/digest init, as a real codec stage would
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { case (id, p) =>
+          val r = FakeDecoder.resize(p, 64)
+          md.reset()
+          (id, r.length.toLong, md.digest(r).map(b => f"$b%02x").mkString)
+        }
+      }
+      .toDF("doc_id", "resized_len", "resized_md5")
+      .orderBy("doc_id")
+  }
+
   /** Frame sampling over the binary payload: fixed 256-byte "frames",
     * stride-4 sampling (every 4th frame) — the video-frame-sample batch
     * shape with the decode stubbed as byte-slicing. The slicing itself is
@@ -148,6 +172,15 @@ object Multimodal {
         |    i -> ascii(substring(text, i, 1)))) AS BIGINT) % 997 AS BIGINT)
         |    AS byte_sum_mod,
         |  lower(hex(substring(text, 1, 4))) AS head_hex
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_mm_resize" ->
+      """SELECT doc_id,
+        |  CAST(least(octet_length(encode(text)), 64) AS BIGINT) AS resized_len,
+        |  md5(CASE WHEN length(text) <= 64 THEN text
+        |       ELSE array_to_string(list_transform(range(0, 64),
+        |         i -> substring(text,
+        |           CAST(floor(i * (length(text) / 64.0)) AS INT) + 1, 1)), '')
+        |       END) AS resized_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_mm_meta" ->
       """SELECT doc_id,
