@@ -49,4 +49,33 @@ class AsOfJoinPropsSpec extends SparkTestBase {
       }
     }
   }
+
+  test("chunker invariants on generated corpora") {
+    import spark.implicits._
+    var seed = org.scalacheck.rng.Seed(11L)
+    val wordGen = Gen.listOfN(40, Gen.choose(1, 90))
+    (1 to 10).foreach { _ =>
+      val sizes = wordGen.apply(Gen.Parameters.default, seed).get
+      seed = seed.next
+      val docs = sizes.zipWithIndex.map { case (n, i) =>
+        (i.toLong, (1 to n).map(j => s"w$j").mkString(" "))
+      }.toDF("doc_id", "text")
+      val chunks = graft.ops.Text.chunksOf(docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val byDoc = chunks.groupBy(_._1)
+      sizes.zipWithIndex.foreach { case (n, i) =>
+        val cs = byDoc.getOrElse(i.toLong, Array.empty).sortBy(_._2)
+        // chunk_idx is dense from 0; every doc has at least one chunk
+        assert(cs.nonEmpty && cs.map(_._2).toSeq == cs.indices.map(_.toLong))
+        // full chunks are 32 tokens; only a sole chunk may be shorter
+        cs.foreach { case (_, idx, len) =>
+          if (cs.length > 1) assert(len == 32L)
+          else assert(len == math.min(n, 32).toLong)
+        }
+        // stride-24 chunks cover the prefix and never pass the doc end
+        val lastStart = 1 + (cs.length - 1) * 24
+        assert(lastStart + cs.last._3 - 1 <= n)
+      }
+    }
+  }
 }
