@@ -243,8 +243,9 @@ object Dedup {
   val ResolveDriverThreshold = 1000000
 
   def qDedupResolve(spark: SparkSession, dir: String): DataFrame =
-    resolveComponents(spark, qDedupMinhash(spark, dir)
-      .select(col("doc_a"), col("doc_b")), ResolveDriverThreshold)
+    resolveComponents(spark,
+      minhashPairsOf(Tables.documentsSpread(spark, dir)),
+      ResolveDriverThreshold)
 
   /** Connected components over candidate pairs; canonical = component MIN.
     * `driverThreshold` picks the strategy (see [[ResolveDriverThreshold]];
