@@ -31,15 +31,19 @@ object Bench {
           .limit(1000).groupBy("l_returnflag").count().count()
         spark.read.parquet(s"$sfDir/documents.parquet").limit(10).count()
       } catch { case _: Throwable => }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The harness keeps only the TAIL of the sbt output: emit milliseconds
+    // as 3-decimal fixed point (not raw doubles with 9+ digits) so the
+    // whole JSON line stays a few KB and survives tail truncation intact.
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

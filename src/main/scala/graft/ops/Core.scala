@@ -25,8 +25,11 @@ object Core {
     * final merge. Identical shape at 100 TB; no driver-side state.
     */
   def wordCountTr(spark: SparkSession, dir: String): DataFrame =
+    // No spread: the explode feeds a map-side-combining hash aggregate, so
+    // per-task work is one pass over its scan split — the extra exchange
+    // measurably outweighed it (r2 bench: 0.30 s -> 0.50 s class).
     wordCountTrLines(
-      graft.Tables.documentsSpread(spark, dir).select(col("text").as("value")))
+      graft.Tables.documents(spark, dir).select(col("text").as("value")))
 
   /** The shell pipeline over any one-string-column DataFrame. NB:
     * `tr '[ \t]' '\n'` treats the *brackets as literal characters* — the
@@ -46,7 +49,7 @@ object Core {
     * (wc_reduce.py:13-18) — equivalent to count when every value is 1.
     */
   def wordCountWs(spark: SparkSession, dir: String): DataFrame = {
-    graft.Tables.documentsSpread(spark, dir)
+    graft.Tables.documents(spark, dir)
       .select(explode(split(col("text"), "\\s+", -1)).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("cnt"))
