@@ -57,6 +57,15 @@ object Graft {
     def resolveComponents(spark: SparkSession, pairs: DataFrame): DataFrame =
       ops.Dedup.resolveComponents(spark, pairs,
         ops.Dedup.ResolveDriverThreshold)
+
+    /** Embedding-cosine near-dup pairs ≥ minCos via multi-table
+      * hyperplane LSH (geometry tunable, see [[ops.HyperplaneLsh]]).
+      */
+    def embedNearDups(emb: DataFrame, minCos: Double,
+      tables: Int = ops.HyperplaneLsh.DefaultTables,
+      bits: Int = ops.HyperplaneLsh.DefaultBits,
+      dim: Int = ops.HyperplaneLsh.DefaultDim): DataFrame =
+      ops.Dedup.embedPairsOf(emb, minCos, tables, bits, dim)
   }
 
   /** Similarity search primitives over ArrayType(FloatType) columns. */
@@ -69,10 +78,17 @@ object Graft {
       org.apache.spark.sql.functions.call_function("cosine_sim", a, b)
     }
 
-    /** 4-sign-bit LSH bucket id for an embedding column (partition /
-      * prune key for ANN probes).
+    /** Multi-table random-hyperplane LSH assignment for an `embedding`
+      * column: explodes each row into `tables` rows carrying (t, bucket)
+      * — the partition / prune key for ANN probes. Raise `bits` as the
+      * corpus grows (occupancy ~n/2^bits per table), raise `tables` to
+      * buy recall back.
       */
-    def lshBucket: Column = ops.Sim.bucketExpr
+    def lshBuckets(emb: DataFrame,
+      tables: Int = ops.HyperplaneLsh.DefaultTables,
+      bits: Int = ops.HyperplaneLsh.DefaultBits,
+      dim: Int = ops.HyperplaneLsh.DefaultDim): DataFrame =
+      ops.Sim.withBuckets(emb, tables, bits, dim)
   }
 
   /** Text-analysis operators over any (doc_id LONG, text STRING, ...)

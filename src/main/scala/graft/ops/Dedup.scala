@@ -310,21 +310,42 @@ object Dedup {
     }
   }
 
-  /** Embedding-cosine near-dup: sign-bit LSH bucket on dims 1–4 (axis
-    * hyperplanes), exact cosine only within buckets, threshold 0.3.
+  /** Embedding-cosine near-dup: multi-table hyperplane LSH candidates
+    * ([[Sim.withBuckets]] / [[HyperplaneLsh]] — default 4 tables × 8
+    * bits), exact cosine only on candidates, threshold 0.3.
     */
-  def qDedupEmbed(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.ensureRegistered(spark)
-    val v = Tables.embeddingsSpread(spark, dir)
-      .withColumn("bucket", Sim.bucketExpr)
-    // scored by the codegen'd native expression — bit-identical to the
-    // zip_with/aggregate composition (same left-to-right double math)
-    v.as("a").join(v.as("b"), col("a.bucket") === col("b.bucket")
-        && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos", expr("cosine_sim(a.embedding, b.embedding)"))
-      .filter(col("cos") > 0.3)
-      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
-        round(col("cos"), 6).as("cos_sim"))
+  def qDedupEmbed(spark: SparkSession, dir: String): DataFrame =
+    embedPairsOf(Tables.embeddingsSpread(spark, dir), 0.3)
+
+  /** Same pipeline over any (vec_id, embedding) frame, geometry
+    * parameterized. Shape: bucket assignment is a narrow per-row
+    * projection (tables× explode), the self-join runs only within
+    * (t, bucket) groups (occupancy ~n/2^bits — *tunable*, unlike the
+    * fixed-16-bucket predecessor whose within-bucket join was O(n²/16)),
+    * candidate pairs are deduped across tables BEFORE the embeddings are
+    * re-attached, so the wide vectors cross the wire once per pair side,
+    * not once per shared table. Scoring is the codegen'd native
+    * expression — bit-identical to the zip_with/aggregate composition.
+    */
+  def embedPairsOf(emb: DataFrame, minCos: Double,
+    tables: Int = HyperplaneLsh.DefaultTables,
+    bits: Int = HyperplaneLsh.DefaultBits,
+    dim: Int = HyperplaneLsh.DefaultDim): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
+    val v = Sim.withBuckets(emb, tables, bits, dim)
+      .select(col("vec_id"), col("t"), col("bucket"))
+    val cand = v.as("a").join(v.as("b"),
+        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+      .distinct()
+    val e = emb.select(col("vec_id"), col("embedding"))
+    cand
+      .join(e.select(col("vec_id").as("va"), col("embedding").as("ea")), "va")
+      .join(e.select(col("vec_id").as("vb"), col("embedding").as("eb")), "vb")
+      .withColumn("cos", expr("cosine_sim(ea, eb)"))
+      .filter(col("cos") > minCos)
+      .select(col("va"), col("vb"), round(col("cos"), 6).as("cos_sim"))
       .orderBy("va", "vb")
   }
 
@@ -438,23 +459,28 @@ object Dedup {
          |HAVING COUNT(*) > 1 ORDER BY sig""".stripMargin
     },
     "q_dedup_embed" ->
-      """WITH v AS (
-        |  SELECT vec_id, embedding,
-        |    concat(CASE WHEN embedding[1] > 0 THEN '1' ELSE '0' END,
-        |           CASE WHEN embedding[2] > 0 THEN '1' ELSE '0' END,
-        |           CASE WHEN embedding[3] > 0 THEN '1' ELSE '0' END,
-        |           CASE WHEN embedding[4] > 0 THEN '1' ELSE '0' END) AS bucket,
-        |    sqrt(list_sum(list_transform(embedding,
-        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-        |  FROM embeddings)
-        |SELECT a.vec_id AS va, b.vec_id AS vb,
-        |  round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
-        |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-        |    / (a.nrm * b.nrm), 6) AS cos_sim
-        |FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-        |WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
-        |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-        |    / (a.nrm * b.nrm) > 0.3
-        |ORDER BY va, vb""".stripMargin,
+      s"""WITH ${graft.ops.HyperplaneLsh.duckBucketCtes(
+             graft.ops.HyperplaneLsh.DefaultTables,
+             graft.ops.HyperplaneLsh.DefaultBits,
+             graft.ops.HyperplaneLsh.DefaultDim)},
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS va, b2.vec_id AS vb
+         |  FROM b a JOIN b b2 ON a.t = b2.t AND a.bucket = b2.bucket
+         |    AND a.vec_id < b2.vec_id),
+         |e AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_sum(list_transform(embedding,
+         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+         |  FROM embeddings),
+         |s AS (
+         |  SELECT c.va, c.vb,
+         |    list_sum(list_transform(list_zip(ea.embedding, eb.embedding),
+         |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         |      / (ea.nrm * eb.nrm) AS cos
+         |  FROM cand c
+         |  JOIN e ea ON ea.vec_id = c.va
+         |  JOIN e eb ON eb.vec_id = c.vb)
+         |SELECT va, vb, round(cos, 6) AS cos_sim FROM s
+         |WHERE cos > 0.3 ORDER BY va, vb""".stripMargin,
   )
 }

@@ -21,13 +21,24 @@ import graft.Tables
   */
 object Sim {
 
-  /** 4-sign-bit LSH bucket over dims 1..4 (1-based, matching DuckDB). */
-  def bucketExpr: Column = expr(
-    """concat(CASE WHEN element_at(embedding, 1) > 0 THEN '1' ELSE '0' END,
-      |       CASE WHEN element_at(embedding, 2) > 0 THEN '1' ELSE '0' END,
-      |       CASE WHEN element_at(embedding, 3) > 0 THEN '1' ELSE '0' END,
-      |       CASE WHEN element_at(embedding, 4) > 0 THEN '1' ELSE '0' END)"""
-      .stripMargin)
+  /** Multi-table hyperplane-LSH assignment: each embedding row explodes
+    * into `tables` rows carrying (t, bucket) — bucket is the `bits`-char
+    * sign signature of table t's random hyperplanes (see
+    * [[HyperplaneLsh]] for geometry, engine-exactness, and why occupancy
+    * stays bounded at scale). The (t, bucket) pair is the join/partition
+    * key for every ANN/near-dup consumer; at rest, a corpus written
+    * partitioned by it prunes whole files per probe.
+    */
+  def withBuckets(emb: DataFrame,
+    tables: Int = HyperplaneLsh.DefaultTables,
+    bits: Int = HyperplaneLsh.DefaultBits,
+    dim: Int = HyperplaneLsh.DefaultDim): DataFrame =
+    emb.withColumn("qv", expr(HyperplaneLsh.quantSql(duck = false)))
+      .withColumn("tb",
+        explode(expr(HyperplaneLsh.bucketStructsSparkSql(tables, bits, dim))))
+      .withColumn("t", col("tb.t"))
+      .withColumn("bucket", col("tb.bucket"))
+      .drop("qv", "tb")
 
   /** L2 norm as double, left-to-right accumulation. */
   def normExpr(emb: Column): Column =
@@ -53,17 +64,20 @@ object Sim {
       .limit(10)
   }
 
-  /** LSH-bucketed ANN: probe only the query's sign-bit bucket, top 5.
-    * Same ranking semantics as brute force, restricted to the bucket.
+  /** LSH-bucketed ANN: candidates are the vectors sharing at least one
+    * (table, bucket) with the query — the multi-table union buys recall
+    * while each table's probe still touches only ~n/2^bits of the corpus.
+    * Same ranking semantics as brute force, restricted to candidates.
     */
   def qSimLsh(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddingsSpread(spark, dir)
-      .withColumn("bucket", bucketExpr)
     graft.functions.GraftFunctions.ensureRegistered(spark)
-    val q = broadcast(e.filter(col("vec_id") === 0)
-      .select(col("bucket").as("q_bucket"), col("embedding").as("q_emb")))
-    e.filter(col("vec_id") =!= 0)
-      .join(q, col("bucket") === col("q_bucket"))
+    val b = withBuckets(Tables.embeddingsSpread(spark, dir))
+    val qb = broadcast(b.filter(col("vec_id") === 0)
+      .select(col("t").as("q_t"), col("bucket").as("q_bucket"),
+        col("embedding").as("q_emb")))
+    b.filter(col("vec_id") =!= 0)
+      .join(qb, col("t") === col("q_t") && col("bucket") === col("q_bucket"))
+      .dropDuplicates("vec_id")
       .select(col("vec_id"),
         round(expr("cosine_sim(embedding, q_emb)"), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
@@ -270,22 +284,27 @@ object Sim {
         |FROM e b, e q WHERE q.vec_id = 0 AND b.vec_id <> 0
         |ORDER BY cos_sim DESC, b.vec_id ASC LIMIT 10""".stripMargin,
     "q_sim_lsh" ->
-      """WITH e AS (
-        |  SELECT vec_id, embedding,
-        |    concat(CASE WHEN embedding[1] > 0 THEN '1' ELSE '0' END,
-        |           CASE WHEN embedding[2] > 0 THEN '1' ELSE '0' END,
-        |           CASE WHEN embedding[3] > 0 THEN '1' ELSE '0' END,
-        |           CASE WHEN embedding[4] > 0 THEN '1' ELSE '0' END) AS bucket,
-        |    sqrt(list_sum(list_transform(embedding,
-        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-        |  FROM embeddings)
-        |SELECT b.vec_id,
-        |  round(list_sum(list_transform(list_zip(b.embedding, q.embedding),
-        |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-        |    / (b.nrm * q.nrm), 6) AS cos_sim
-        |FROM e b, e q
-        |WHERE q.vec_id = 0 AND b.vec_id <> 0 AND b.bucket = q.bucket
-        |ORDER BY cos_sim DESC, b.vec_id ASC LIMIT 5""".stripMargin,
+      s"""WITH ${HyperplaneLsh.duckBucketCtes(
+             HyperplaneLsh.DefaultTables, HyperplaneLsh.DefaultBits,
+             HyperplaneLsh.DefaultDim)},
+         |qb AS (SELECT t, bucket FROM b WHERE vec_id = 0),
+         |cand AS (
+         |  SELECT DISTINCT b.vec_id FROM b
+         |  JOIN qb ON b.t = qb.t AND b.bucket = qb.bucket
+         |  WHERE b.vec_id <> 0),
+         |e AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_sum(list_transform(embedding,
+         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+         |  FROM embeddings)
+         |SELECT be.vec_id,
+         |  round(list_sum(list_transform(list_zip(be.embedding, qe.embedding),
+         |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         |    / (be.nrm * qe.nrm), 6) AS cos_sim
+         |FROM cand c
+         |JOIN e be ON be.vec_id = c.vec_id, e qe
+         |WHERE qe.vec_id = 0
+         |ORDER BY cos_sim DESC, be.vec_id ASC LIMIT 5""".stripMargin,
     "q_sim_label_coherence" ->
       """WITH m AS (
         |  SELECT label, pos,

@@ -72,15 +72,50 @@ object ScaleProbe {
           .select(col("vec_id"),
             expr("cosine_sim(embedding, q_emb)").as("c"))
           .orderBy(col("c").desc, col("vec_id").asc).limit(10).count())
-      val bucketed = e.withColumn("bucket", graft.ops.Sim.bucketExpr)
+      val bucketed = graft.ops.Sim.withBuckets(e)
       val qb = broadcast(bucketed.filter(col("vec_id") === 0)
-        .select(col("bucket").as("q_bucket"), col("embedding").as("q_emb")))
+        .select(col("t").as("q_t"), col("bucket").as("q_bucket"),
+          col("embedding").as("q_emb")))
       time(s"sim lsh ${k}x")(
         bucketed.filter(col("vec_id") =!= 0)
-          .join(qb, col("bucket") === col("q_bucket"))
+          .join(qb, col("t") === col("q_t") && col("bucket") === col("q_bucket"))
+          .dropDuplicates("vec_id")
           .select(col("vec_id"),
             expr("cosine_sim(embedding, q_emb)").as("c"))
           .orderBy(col("c").desc, col("vec_id").asc).limit(5).count())
+      e.unpersist()
+    }
+
+    // Embedding near-dup candidate growth: replicate the corpus k× with a
+    // deterministic per-replica perturbation (so copies are *near*, not
+    // exact, neighbors — the realistic worst case) and count LSH candidate
+    // pairs under the legacy fixed geometry (1 table × 4 bits ≈ the old
+    // 16-bucket sign scheme) vs the parameterized default (4 × 8).
+    // Sub-quadratic growth of the 4×8 counts as k grows — against the
+    // k² blowup of the 16-bucket floor — is the scale evidence.
+    def perturbedEmb(k: Int): DataFrame = {
+      val base = graft.Tables.embeddings(spark, sfDir)
+      val n = base.count()
+      (0 until k).map { i =>
+        base.withColumn("vec_id", col("vec_id") + lit(i * n))
+          .withColumn("embedding", expr(
+            s"transform(embedding, (x, p) -> CAST(x + 0.03 * (pmod(vec_id * 31 + $i * 17 + p * 7, 13) - 6) AS FLOAT))"))
+      }.reduce(_ union _).repartition(cpus.toInt)
+    }
+    def candCount(e: DataFrame, tables: Int, bits: Int): Long = {
+      val v = graft.ops.Sim.withBuckets(e, tables, bits)
+        .select(col("vec_id"), col("t"), col("bucket"))
+      v.as("a").join(v.as("b"),
+          col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket")
+            && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+        .distinct().count()
+    }
+    Seq(1, 4, 10).foreach { k =>
+      val e = perturbedEmb(k).cache()
+      e.count()
+      time(s"embed cand 1x4b ${k}x")(candCount(e, 1, 4))
+      time(s"embed cand 4x8b ${k}x")(candCount(e, 4, 8))
       e.unpersist()
     }
     spark.stop()
