@@ -112,6 +112,7 @@ object SparkEntry {
     "q_dedup_exact" -> (Dedup.qDedupExact _),
     "q_dedup_minhash" -> (Dedup.qDedupMinhash _),
     "q_dedup_jaccard" -> (Dedup.qDedupJaccard _),
+    "q_dedup_jaccard_capped" -> (Dedup.qDedupJaccardCapped _),
     "q_dedup_simhash" -> (Dedup.qDedupSimhash _),
     "q_dedup_embed" -> (Dedup.qDedupEmbed _),
     "q_dedup_resolve" -> (Dedup.qDedupResolve _),

@@ -132,8 +132,22 @@ object Dedup {
   def jaccardPairs(spark: SparkSession, dir: String, minJ: Double): DataFrame =
     jaccardPairsOf(Tables.documentsSpread(spark, dir), minJ)
 
-  /** Same pipeline over any (doc_id, text) frame. */
-  def jaccardPairsOf(docsIn: DataFrame, minJ: Double): DataFrame = {
+  /** Same pipeline over any (doc_id, text) frame.
+    *
+    * `dfCap` bounds the document frequency of shingles allowed to emit
+    * pairs: a posting list longer than the cap is a stop-phrase (boiler-
+    * plate shared by half the corpus) whose pair explosion is O(df²) —
+    * one shingle with df = 1 M emits 5·10¹¹ pairs. Capped semantics are
+    * the standard lower bound: |A|,|B| stay the full per-doc shingle
+    * cardinalities, only the intersection count ignores hot shingles, so
+    * reported jaccard ≤ true jaccard and pairs sharing ONLY boilerplate
+    * drop out — exactly what a dedup pipeline wants. Default ∞ keeps the
+    * exact semantics for the oracle-checked query; at 100 TB you always
+    * set a cap (the ScaleProbe `jaccard df-cap` rows show the bounded
+    * vs quadratic growth).
+    */
+  def jaccardPairsOf(docsIn: DataFrame, minJ: Double,
+    dfCap: Long = Long.MaxValue): DataFrame = {
     val docs = docsIn
       .withColumn("w", split(lower(col("text")), " ", -1))
       .withColumn("sh", expr(
@@ -142,9 +156,24 @@ object Dedup {
           |    i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1),
           |                   element_at(w, i + 2))))
           |ELSE array() END""".stripMargin))
-    docs
+    val posts = docs
       .select(explode(col("sh")).as("s"), col("doc_id"),
         size(col("sh")).cast("long").as("n"))
+    // The cap is enforced BEFORE posting lists are collected: a first
+    // count-only pass (map-side partial counts, cheap shuffle of (s, n))
+    // finds the hot shingles, which are by definition few — boilerplate
+    // phrases — so they broadcast, and the anti-join removes them without
+    // ever materializing a 100 M-entry collect_list on one key. Costs one
+    // extra corpus scan; only taken when a cap is actually set.
+    val kept =
+      if (dfCap == Long.MaxValue) posts
+      else {
+        val hot = posts.groupBy(col("s"))
+          .agg(count(lit(1)).as("df")).filter(col("df") > dfCap)
+          .select(col("s"))
+        posts.join(broadcast(hot), Seq("s"), "left_anti")
+      }
+    kept
       .groupBy(col("s"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
       .filter(size(col("ds")) > 1)
@@ -164,6 +193,17 @@ object Dedup {
 
   def qDedupJaccard(spark: SparkSession, dir: String): DataFrame =
     jaccardPairs(spark, dir, 0.1).orderBy("doc_a", "doc_b")
+
+  /** Capped-DF Jaccard (dfCap = 4): the 100 TB configuration of
+    * [[jaccardPairsOf]] — stop-phrases above the cap never emit pairs.
+    * Oracle mirrors the cap with a HAVING on shingle DF, so the lower-
+    * bound semantics are pinned exactly, not just "fewer rows".
+    */
+  val JaccardDfCap = 4L
+
+  def qDedupJaccardCapped(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairsOf(Tables.documentsSpread(spark, dir), 0.1, JaccardDfCap)
+      .orderBy("doc_a", "doc_b")
 
   /** LSH-candidate quality measurement: every production dedup pipeline
     * needs to know what its candidate generator is worth. Joins the
@@ -298,10 +338,18 @@ object Dedup {
       var changed = 1L
       var iter = 0
       while (changed > 0 && iter < 25) {
-        // two propagation rounds per convergence check (tiny diameters)
-        val next = propagate(propagate(labels)).cache()
+        // Two propagation rounds per convergence check (tiny diameters).
+        // localCheckpoint (eager) truncates the lineage each iteration:
+        // without it the plan doubles per round and by iteration ~15 the
+        // optimizer re-plans a 2^15-deep tree — the classic iterative-
+        // algorithm failure mode on Spark. Checkpointed, each round plans
+        // against a materialized leaf, so 25 iterations cost 25 flat
+        // joins. (On a cluster use reliable checkpoint() to survive
+        // executor loss; localCheckpoint is the single-JVM equivalent.)
+        val prev = labels
+        val next = propagate(propagate(labels)).localCheckpoint(true)
         changed = next.withColumnRenamed("root", "nr")
-          .join(labels, "doc").filter(col("nr") =!= col("root")).count()
+          .join(prev, "doc").filter(col("nr") =!= col("root")).count()
         labels = next
         iter += 1
       }
@@ -433,6 +481,24 @@ object Dedup {
           |inter AS (
           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
           |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          |  GROUP BY a.doc_id, b.doc_id)
+          |SELECT doc_a, doc_b,
+          |  CAST(shared AS DOUBLE)/(ca.n + cb.n - shared) AS jaccard
+          |FROM inter
+          |JOIN card ca ON ca.doc_id = doc_a
+          |JOIN card cb ON cb.doc_id = doc_b
+          |WHERE CAST(shared AS DOUBLE)/(ca.n + cb.n - shared) >= 0.1
+          |ORDER BY doc_a, doc_b""".stripMargin),
+    "q_dedup_jaccard_capped" ->
+      (shingleSqlCte +
+        s""",
+          |card AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+          |keep AS (
+          |  SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= $JaccardDfCap),
+          |shk AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)),
+          |inter AS (
+          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+          |  FROM shk a JOIN shk b ON a.s = b.s AND a.doc_id < b.doc_id
           |  GROUP BY a.doc_id, b.doc_id)
           |SELECT doc_a, doc_b,
           |  CAST(shared AS DOUBLE)/(ca.n + cb.n - shared) AS jaccard

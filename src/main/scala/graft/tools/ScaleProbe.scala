@@ -49,6 +49,26 @@ object ScaleProbe {
       time(s"minhash ${k}x")(graft.ops.Dedup.minhashPairsOf(docs).count())
       time(s"simhash ${k}x")(graft.ops.Dedup.simhashGroupsOf(docs).count())
       time(s"jaccard ${k}x")(graft.ops.Dedup.jaccardPairsOf(docs, 0.1).count())
+      // df-cap contrast: k× exact replication multiplies every shingle's
+      // document frequency by k, so the uncapped pipeline's pair emission
+      // grows ~k² (the stop-phrase blowup in miniature) while the capped
+      // one stays bounded — hot shingles are anti-joined out before any
+      // posting list is collected.
+      time(s"jaccard cap4 ${k}x")(
+        graft.ops.Dedup.jaccardPairsOf(docs, 0.1, dfCap = 4).count())
+      if (k == 10) {
+        // resolve strategy parity at the largest probe: driver union-find
+        // vs the forced-distributed label-propagation loop (threshold=0)
+        // over the same candidate graph — the distributed path must hold
+        // its own, since it's the only option at cluster scale.
+        val pairs = graft.ops.Dedup.minhashPairsOf(docs).cache()
+        pairs.count()
+        time(s"resolve drv ${k}x")(
+          graft.ops.Dedup.resolveComponents(spark, pairs, Long.MaxValue).count())
+        time(s"resolve dist ${k}x")(
+          graft.ops.Dedup.resolveComponents(spark, pairs, 0).count())
+        pairs.unpersist()
+      }
       docs.unpersist()
     }
 
