@@ -184,10 +184,12 @@ object Sim {
   /** IVF with a *learned* codebook: KMeans (k=8, fixed seed) replaces the
     * label-mean quantizer of [[qSimIvf]] — the standard path when no
     * natural partition key exists or sign-bit LSH buckets skew. KMeans
-    * isn't SQL-expressible → rows-only driver check; the ScalaTest spec
-    * pins determinism and score correctness instead.
+    * isn't SQL-expressible, so the GATE query [[qSimIvfKmeans]] wraps
+    * this top-k in a recall assertion the oracle CAN check; the ScalaTest
+    * spec additionally pins determinism and score correctness.
     */
-  def qSimIvfKmeans(spark: SparkSession, dir: String): DataFrame = {
+  def ivfKmeansTopK(spark: SparkSession, dir: String,
+    nprobe: Int = KmeansNprobe): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val e = Tables.embeddings(spark, dir)
@@ -203,7 +205,7 @@ object Sim {
         val d = c.toArray.zip(qVec).map { case (a, b) => (a - b) * (a - b) }.sum
         (i, d)
       }
-      .sortBy(_._2).take(3).map(_._1)
+      .sortBy(_._2).take(nprobe).map(_._1)
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val qdf = broadcast(Tables.embeddings(spark, dir)
       .filter(col("vec_id") === 0)
@@ -217,7 +219,44 @@ object Sim {
       .limit(10)
   }
 
+  /** Probe width and recall@10 threshold for the learned-codebook IVF
+    * gate. The synthetic embeddings have only weak coarse-cluster
+    * structure (the measured true top-10 spreads across most labels), so
+    * IVF recall here tracks the probed fraction of the corpus plus a
+    * locality bonus: measured recall at nprobe=3 (37.5% probed) was
+    * 1.0 / 0.8 / 0.6 at sf0.001/0.01/0.1. nprobe=5 probes 62.5% and
+    * measured 1.0 / 0.8 / 0.8, so τ=0.5 asserts the structure the data
+    * actually has, with 3 hits of margin at the gate scale factor
+    * against codebook jitter; a broken quantizer, probe ranking, or
+    * scoring path still lands well below it. On a genuinely clustered
+    * corpus, drop nprobe and raise τ together.
+    */
+  val KmeansNprobe = 5
+  val KmeansRecallTau = 0.5
+
+  /** The driver-gated KMeans-IVF query: recall@10 of [[ivfKmeansTopK]]
+    * against the exact brute-force top-10 ([[qSimTopK]], itself oracle-
+    * checked), asserted ≥ [[KmeansRecallTau]]. The learned codebook
+    * isn't SQL-expressible, but this OUTPUT is oracle-checkable as an
+    * invariant (same pattern as `approx_ok` in the HLL query): the
+    * oracle pins `n_returned = 10` and `recall_ok = TRUE`, so a broken
+    * quantizer, probe ranking, or scoring path flips the row and the
+    * gate goes red — a real check, unlike the former rows-only entry.
+    */
+  def qSimIvfKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val ivf = ivfKmeansTopK(spark, dir).select(col("vec_id"))
+    val brute = qSimTopK(spark, dir).select(col("vec_id"))
+    ivf.join(brute, Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+      .crossJoin(ivf.agg(count(lit(1)).as("n_returned")))
+      .select(col("n_returned"),
+        (col("n_hits").cast("double") / col("n_returned") >= KmeansRecallTau)
+          .as("recall_ok"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_sim_ivf_kmeans" ->
+      "SELECT CAST(10 AS BIGINT) AS n_returned, TRUE AS recall_ok",
     "q_sim_ivf" ->
       """WITH cm AS (
         |  SELECT label, pos,

@@ -88,12 +88,16 @@ class DedupSimSpec extends SparkTestBase {
     }
     assert(all > 0 && brute.count() == 10)
     // the learned-codebook twin obeys the same contract
-    val km = Sim.qSimIvfKmeans(spark, sfDir).collect()
+    val km = Sim.ivfKmeansTopK(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(km.nonEmpty && km.size <= 10)
     km.foreach { case (id, s) =>
       assert(bruteScores(id) == s, s"KMeans-IVF score for $id differs from exact")
     }
+    // and the gated recall wrapper reports full size + recall over tau
+    val recall = Sim.qSimIvfKmeans(spark, sfDir).collect()
+    assert(recall.length == 1)
+    assert(recall(0).getLong(0) == 10L && recall(0).getBoolean(1))
   }
 
   test("simhash groups only docs with identical 16-bit signatures") {
