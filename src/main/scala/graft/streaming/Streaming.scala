@@ -58,29 +58,77 @@ object Streaming {
   final case class SessionState(lastSec: Long, sessions: Long, events: Long)
   final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
 
+  /** Session gap (seconds): a silence this long starts a new session, and
+    * a user whose silence outlives it past the watermark has their state
+    * evicted — the two uses of the same constant are what make state
+    * size O(active users), not O(all users ever seen).
+    */
+  val SessionGapSec = 1800L
+
+  /** The per-user state transition, factored out so the spec can drive it
+    * directly with [[org.apache.spark.sql.streaming.TestGroupState]]
+    * (including the timeout path, which needs no stream orchestration).
+    *
+    * Incremental by construction: only THIS batch's rows for the user are
+    * sorted (event-time order within the batch; cross-batch order is the
+    * watermark's job), then folded into the running (lastSec, sessions,
+    * events) struct — per-batch work is O(batch rows for the user), not
+    * O(user history), and state is three longs regardless of stream
+    * length. On event-time timeout (watermark passed lastSec + gap) the
+    * state is emitted one final time and REMOVED: a quiet user costs
+    * nothing forever after. Late events inside the watermark horizon
+    * fold in with min/max clamping (an out-of-order event cannot create
+    * a negative gap or double-count a session boundary — it lands in the
+    * existing session); events later than the horizon are dropped by the
+    * watermark upstream, the standard bounded-state trade-off.
+    */
+  def updateSessions(uid: Long, rows: Iterator[(Long, Long)],
+    state: GroupState[SessionState]): UserSessions = {
+    if (state.hasTimedOut) {
+      val st = state.get
+      state.remove()
+      UserSessions(uid, st.sessions, st.events)
+    } else {
+      val batch = rows.map(_._2).toArray
+      java.util.Arrays.sort(batch)
+      var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+      batch.foreach { sec =>
+        val isNew = st.events == 0L || sec - st.lastSec > SessionGapSec
+        st = SessionState(math.max(sec, st.lastSec),
+          st.sessions + (if (isNew) 1L else 0L), st.events + 1L)
+      }
+      state.update(st)
+      // Evict once the watermark passes the session-close boundary. The
+      // timestamp must sit strictly beyond the current watermark or Spark
+      // rejects it — the clamp covers a user whose whole batch arrived
+      // right at the horizon.
+      val target = (st.lastSec + SessionGapSec) * 1000L
+      state.setTimeoutTimestamp(
+        math.max(target, state.getCurrentWatermarkMs() + 1L))
+      UserSessions(uid, st.sessions, st.events)
+    }
+  }
+
   /** Custom streaming state: per-user session counting with a 30-minute
     * gap rule via mapGroupsWithState — the stateful-operator escape hatch
     * for semantics windowed aggs can't express. State is one small struct
-    * per user (bounded), keyed shuffle per micro-batch.
+    * per ACTIVE user: the 2-hour watermark plus event-time timeout evicts
+    * users silent past the session gap (see [[updateSessions]]), so state
+    * is bounded by concurrent activity on a continuous feed, not by the
+    * lifetime user population.
     */
   def sessionize(spark: SparkSession, stageDir: String): Dataset[UserSessions] = {
     import spark.implicits._
+    // The watermarked `ts` attribute must reach the stateful operator for
+    // EventTimeTimeout to be allowed, so it rides to the groupByKey as a
+    // typed column and is folded to epoch seconds only inside the lambda.
     spark.readStream.schema(eventSchema).parquet(stageDir)
-      .select(col("user_id").as[Long],
-        unix_timestamp(col("ts")).as[Long])
-      .as[(Long, Long)]
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id").as[Long], col("ts").as[java.sql.Timestamp])
       .groupByKey(_._1)
-      .mapGroupsWithState[SessionState, UserSessions](GroupStateTimeout.NoTimeout) {
-        case (uid, rows, state: GroupState[SessionState]) =>
-          val sorted = rows.map(_._2).toSeq.sorted
-          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
-          sorted.foreach { sec =>
-            val isNew = st.events == 0L || sec - st.lastSec > 1800L
-            st = SessionState(sec, st.sessions + (if (isNew) 1L else 0L),
-              st.events + 1L)
-          }
-          state.update(st)
-          UserSessions(uid, st.sessions, st.events)
+      .mapGroupsWithState[SessionState, UserSessions](
+        GroupStateTimeout.EventTimeTimeout) { (uid, rows, state) =>
+        updateSessions(uid, rows.map(r => (r._1, r._2.getTime / 1000L)), state)
       }
   }
 

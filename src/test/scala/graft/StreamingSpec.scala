@@ -71,4 +71,41 @@ class StreamingSpec extends SparkTestBase {
 
     assert(got == want)
   }
+
+  test("session state folds incrementally across micro-batches") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import Streaming.{updateSessions, SessionState}
+    // one shot: gap between 100 and 2000+100 > 1800 → 2 sessions
+    val all = Seq(0L, 100L, 2100L, 2200L)
+    val oneShot = {
+      val st = TestGroupState.create[SessionState](Optional.empty(),
+        GroupStateTimeout.EventTimeTimeout, 0L, Optional.of(0L), false)
+      updateSessions(7L, all.map(7L -> _).iterator, st)
+    }
+    // same events split across two batches must give the same answer
+    val st = TestGroupState.create[SessionState](Optional.empty(),
+      GroupStateTimeout.EventTimeTimeout, 0L, Optional.of(0L), false)
+    updateSessions(7L, all.take(2).map(7L -> _).iterator, st)
+    val second = updateSessions(7L,
+      all.drop(2).map(7L -> _).iterator, st)
+    assert(oneShot == second)
+    assert(second.n_sessions == 2L && second.n_events == 4L)
+    // eviction boundary registered: lastSec + gap
+    assert(st.getTimeoutTimestampMs.get ==
+      (2200L + Streaming.SessionGapSec) * 1000L)
+  }
+
+  test("state for quiet users times out: final emission, then removal") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import Streaming.{updateSessions, SessionState}
+    val st = TestGroupState.create[SessionState](
+      Optional.of(SessionState(2200L, 2L, 4L)),
+      GroupStateTimeout.EventTimeTimeout, 0L,
+      Optional.of((2200L + Streaming.SessionGapSec) * 1000L + 1L), true)
+    val fin = updateSessions(7L, Iterator.empty, st)
+    assert(fin == Streaming.UserSessions(7L, 2L, 4L))
+    assert(st.isRemoved, "quiet user's state must be evicted")
+  }
 }
