@@ -29,12 +29,21 @@ object Graft {
     def pipe(input: Dataset[String], command: String): Dataset[String] =
       ops.Core.pipeLines(input, command)
 
+    /** Same, with the command as an explicit argv vector (parameterized
+      * mappers à la the reference's grep: query arrives via argv).
+      */
+    def pipeArgv(input: Dataset[String], argv: Seq[String]): Dataset[String] =
+      ops.Core.pipeArgv(input, argv)
+
     /** Reference sink parity: key\tvalue lines, hash-partitioned and
-      * sorted per partition, overwrite semantics.
+      * sorted per partition, overwrite semantics. `md5Placement = true`
+      * additionally reproduces the reference's exact key→part-file
+      * assignment (int(md5(key),16) % R).
       */
     def writeKvText(df: DataFrame, keyCol: String, valCol: String,
-      outDir: String, numPartitions: Int): Unit =
-      sources.Sources.writeKvText(df, keyCol, valCol, outDir, numPartitions)
+      outDir: String, numPartitions: Int, md5Placement: Boolean = false): Unit =
+      sources.Sources.writeKvText(df, keyCol, valCol, outDir, numPartitions,
+        md5Placement)
   }
 
   /** Deduplication toolbox over any (doc_id LONG, text STRING) frame. */

@@ -82,6 +82,21 @@ object Core {
     input.rdd.pipe(command).toDS()
   }
 
+  /** Pipe through an explicit argv vector — the reference's mappers take
+    * their parameters as command-line arguments (tests/testdata/exec/
+    * grep_map.py:14-18 reads the query from sys.argv), so the exe escape
+    * hatch must pass arguments through unsplit. The string overload
+    * tokenizes on whitespace; this one hands Spark the argv as-is, so an
+    * argument may contain spaces or shell metacharacters without any
+    * quoting layer. Same execution shape: one process per partition,
+    * records streamed over stdin/stdout, bounded memory.
+    */
+  def pipeArgv(input: Dataset[String], argv: Seq[String]): Dataset[String] = {
+    val spark = input.sparkSession
+    import spark.implicits._
+    input.rdd.pipe(argv).toDS()
+  }
+
   /** End-to-end exe-parity demo used as a verifiable query: stream a
     * column through /bin/cat (the mapper used by the reference's memory
     * test, tests/test_worker_11.py:38) and aggregate the piped output.

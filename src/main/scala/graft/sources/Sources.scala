@@ -21,15 +21,47 @@ object Sources {
     * into R files, sorted within each partition, overwrite semantics —
     * the observable output contract of the reference's reduce stage
     * (sorted `part-{r:05d}` files, dir recreated per job).
+    *
+    * `md5Placement = false` (default) lets Spark's murmur3 exchange pick
+    * the file per key — per-key contents identical, file ASSIGNMENT
+    * engine-specific. `true` reproduces the reference's exact placement
+    * (`int(md5(key), 16) % R`, worker/__main__.py:143-149, modulo the
+    * documented 15-hex-char truncation of [[graft.ops.Core.md5Partition]])
+    * by routing each line through an identity partitioner on the
+    * precomputed partition id: a consumer that pins which `part-*` file a
+    * key lands in gets the reference's layout byte-for-byte. Costs the
+    * same single shuffle; the per-file sort runs partition-local.
     */
   def writeKvText(df: DataFrame, keyCol: String, valCol: String,
-    outDir: String, numPartitions: Int): Unit = {
-    df.select(concat_ws("\t", col(keyCol), col(valCol)).as("line"),
-        col(keyCol).as("k"))
-      .repartition(numPartitions, col("k"))
-      .sortWithinPartitions("line")
-      .select("line")
-      .write.mode(SaveMode.Overwrite).text(outDir)
+    outDir: String, numPartitions: Int, md5Placement: Boolean = false): Unit = {
+    if (!md5Placement) {
+      df.select(concat_ws("\t", col(keyCol), col(valCol)).as("line"),
+          col(keyCol).as("k"))
+        .repartition(numPartitions, col("k"))
+        .sortWithinPartitions("line")
+        .select("line")
+        .write.mode(SaveMode.Overwrite).text(outDir)
+    } else {
+      val spark = df.sparkSession
+      val n = numPartitions
+      val pairs = df.select(
+          concat_ws("\t", col(keyCol), col(valCol)).as("line"),
+          graft.ops.Core.md5Partition(col(keyCol), n).cast("int").as("pid"))
+        .rdd.map(r => (r.getInt(1), r.getString(0)))
+        .partitionBy(new org.apache.spark.Partitioner {
+          override def numPartitions: Int = n
+          override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+        })
+      // reference worker sorts each reduce partition's lines wholesale
+      val sorted = pairs.values.mapPartitions { it =>
+        val a = it.toArray; java.util.Arrays.sort(a,
+          implicitly[Ordering[String]]); a.iterator
+      }
+      val path = new org.apache.hadoop.fs.Path(outDir)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(path)) fs.delete(path, true) // overwrite semantics
+      sorted.saveAsTextFile(outDir)
+    }
   }
 
   /** Round-trip helpers for the standard columnar/row formats. */

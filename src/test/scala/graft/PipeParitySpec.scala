@@ -35,4 +35,31 @@ class PipeParitySpec extends SparkTestBase {
         s"extra=${(got.keySet -- want.keySet).take(5)}")
     assert(got("") == 9L, "empty-key parity with the reference golden")
   }
+
+  test("mapper exe receives its query through argv (grep semantics)") {
+    // The reference's grep mapper reads the query from sys.argv and emits
+    // "1\t<line>" for non-empty lines whose lowercase contains it. Same
+    // contract here, query passed as a real argv element — proving the
+    // pipe surface covers parameterized mappers, not just bare /bin/cat.
+    import spark.implicits._
+    val corpus = Seq(
+      "Project Spark rises", "  ", "", "nothing to see",
+      "SPARKLING water", "a spark in the dark", "trailing spaces spark   ")
+    val lines = spark.createDataset(corpus).repartition(3)
+    val mapperSrc =
+      "import sys\n" +
+        "q = sys.argv[1]\n" +
+        "for line in sys.stdin:\n" +
+        "    line = line.strip()\n" +
+        "    if not line:\n" +
+        "        continue\n" +
+        "    if q in line.lower():\n" +
+        "        print('1\\t' + line)\n"
+    val got = Core.pipeArgv(lines, Seq("python3", "-c", mapperSrc, "spark"))
+      .collect().sorted.toSeq
+    val want = corpus.map(_.trim)
+      .filter(l => l.nonEmpty && l.toLowerCase.contains("spark"))
+      .map("1\t" + _).sorted
+    assert(got == want)
+  }
 }

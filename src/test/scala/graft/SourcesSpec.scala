@@ -33,6 +33,45 @@ class SourcesSpec extends SparkTestBase {
     assert(parsed == want)
   }
 
+  test("writeKvText md5Placement reproduces the reference file assignment") {
+    import java.security.MessageDigest
+    val wc = graft.ops.Core.wordCountTr(spark, sfDir)
+    val out = Files.createTempDirectory("graft-kv-md5").toString
+    val r = 4
+    Sources.writeKvText(wc, "word", "cnt", out, r, md5Placement = true)
+
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    assert(files.length == r)
+
+    // the documented contract: partition = int(md5(key)[:15], 16) % R,
+    // modeled here independently of the Spark expression
+    def expectedPart(key: String): Int = {
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 15)
+      (java.lang.Long.parseLong(hex, 16) % r).toInt
+    }
+
+    files.zipWithIndex.foreach { case (f, idx) =>
+      val lines = scala.io.Source.fromFile(f).getLines().toSeq
+      assert(lines == lines.sorted, s"${f.getName} not sorted")
+      lines.foreach { l =>
+        val key = l.substring(0, l.lastIndexOf('\t'))
+        assert(expectedPart(key) == idx,
+          s"key '$key' in ${f.getName}, expected part ${expectedPart(key)}")
+      }
+    }
+    // placement on top of the same contents: totals still reconstruct
+    val parsed = files.flatMap(f => scala.io.Source.fromFile(f).getLines())
+      .map { l =>
+        val i = l.lastIndexOf('\t')
+        l.substring(0, i) -> l.substring(i + 1).toLong
+      }.toMap
+    val want = wc.collect().map(r0 => r0.getString(0) -> r0.getLong(1)).toMap
+    assert(parsed == want)
+  }
+
   test("csv round-trip preserves rows") {
     val df = graft.Tables.nation(spark, sfDir)
     val out = Files.createTempDirectory("graft-csv").toString
