@@ -136,6 +136,10 @@ object ScaleProbe {
       e.count()
       time(s"embed cand 1x4b ${k}x")(candCount(e, 1, 4))
       time(s"embed cand 4x8b ${k}x")(candCount(e, 4, 8))
+      // the knob the fixed scheme lacked: at the largest replication,
+      // 4 more bits per table cut bucket occupancy ~16× — this is the
+      // move a 100 TB corpus makes to keep the self-join bounded
+      if (k == 10) time(s"embed cand 4x12b ${k}x")(candCount(e, 4, 12))
       e.unpersist()
     }
     spark.stop()
