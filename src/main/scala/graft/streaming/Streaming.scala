@@ -253,7 +253,39 @@ object Streaming {
       .orderBy("user_id")
   }
 
+  /** Streaming exact-dedup — the ingestion-side twin of the batch dedup
+    * lane: an at-least-once feed (simulated by staging the events table
+    * TWICE into the landing zone) deduplicated by event_id with
+    * watermarked state, collapsing back to exactly the base table. State
+    * is one key per event inside the watermark horizon — evicted as the
+    * watermark advances, the same bounded-state story as the windowed
+    * aggregates. The event-time column must be IN the dedup key for
+    * Spark to evict (plain dropDuplicates("event_id") keeps state
+    * forever); duplicate deliveries of an event carry the same event
+    * timestamp, so (event_id, ts) collapses them and stays evictable.
+    * Append mode: each id is emitted exactly once.
+    */
+  def qStreamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val stage = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_stream_dup_" + dir.replaceAll("[^a-zA-Z0-9]", "_"))
+      .getAbsolutePath
+    if (stagedDirs.add(s"$dir->$stage")) {
+      val ev = graft.Tables.events(spark, dir)
+      ev.write.mode("overwrite").parquet(stage)
+      ev.write.mode("append").parquet(stage) // the duplicate delivery
+    }
+    val deduped = spark.readStream.schema(eventSchema).parquet(stage)
+      .withWatermark("ts", "2 hours")
+      .dropDuplicates("event_id", "ts")
+      .select(col("event_id"), col("event_type"))
+    runToMemory(deduped, s"graft_stream_dedup_${runSeq.incrementAndGet()}",
+        OutputMode.Append())
+      .orderBy("event_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_stream_dedup" ->
+      """SELECT event_id, event_type FROM events ORDER BY event_id""",
     "q_stream_join" ->
       """SELECT v.event_id AS v_id, p.event_id AS p_id, v.user_id
         |FROM events v JOIN events p

@@ -36,6 +36,38 @@ class PipeParitySpec extends SparkTestBase {
     assert(got("") == 9L, "empty-key parity with the reference golden")
   }
 
+  test("pipe path streams with bounded live heap (reference memory contract)") {
+    // The reference pins its map stage under a heap budget
+    // (tests/test_worker_11.py): the input must STREAM through the exe,
+    // never materialize. Pipe ~0.5 GB of generated lines through cat in
+    // ONE partition while a monitor thread samples live-after-GC heap:
+    // a materialized partition would hold >1.4 GB of String objects live
+    // mid-pipe; streaming keeps the live set near baseline. The 400 MB
+    // threshold sits ~3x above observed streaming peaks and ~3x below
+    // the materialized floor, so the assertion is robust on both sides.
+    import spark.implicits._
+    val nLines = 8000000L
+    val pad = "x" * 48
+    val lines = spark.range(0, nLines, 1, 1).map(i => s"line-$i-$pad")
+    val rt = Runtime.getRuntime
+    def usedAfterGc(): Long = { System.gc(); rt.totalMemory - rt.freeMemory }
+    val base = usedAfterGc()
+    @volatile var peak = 0L
+    @volatile var done = false
+    val mon = new Thread(() => {
+      while (!done) { peak = math.max(peak, usedAfterGc()); Thread.sleep(500) }
+    })
+    mon.setDaemon(true)
+    mon.start()
+    val n = Core.pipeLines(lines, "cat").count()
+    done = true
+    mon.join()
+    assert(n == nLines)
+    val deltaMb = (peak - base) / 1024 / 1024
+    assert(deltaMb < 400,
+      s"live heap grew ${deltaMb} MB while piping ~500 MB — input not streamed")
+  }
+
   test("mapper exe receives its query through argv (grep semantics)") {
     // The reference's grep mapper reads the query from sys.argv and emits
     // "1\t<line>" for non-empty lines whose lowercase contains it. Same

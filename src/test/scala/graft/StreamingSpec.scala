@@ -72,6 +72,14 @@ class StreamingSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("streaming dedup collapses an at-least-once feed to the base table") {
+    val got = Streaming.qStreamDedup(spark, sfDir)
+    val base = graft.Tables.events(spark, sfDir)
+    assert(got.count() == base.count(),
+      "doubled feed must dedup back to exactly the base table")
+    assert(got.select("event_id").distinct().count() == base.count())
+  }
+
   test("session state folds incrementally across micro-batches") {
     import org.apache.spark.api.java.Optional
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
