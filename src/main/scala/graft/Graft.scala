@@ -52,9 +52,13 @@ object Graft {
     def minhashCandidates(docs: DataFrame): DataFrame =
       ops.Dedup.minhashPairsOf(docs)
 
-    /** Exact n-gram Jaccard over co-shingle pairs with J ≥ minJ. */
-    def jaccardPairs(docs: DataFrame, minJ: Double): DataFrame =
-      ops.Dedup.jaccardPairsOf(docs, minJ)
+    /** Exact n-gram Jaccard over co-shingle pairs with J ≥ minJ.
+      * `dfCap` drops shingles hotter than the cap before pair emission
+      * (the stop-phrase guard — at corpus scale, always set one).
+      */
+    def jaccardPairs(docs: DataFrame, minJ: Double,
+      dfCap: Long = Long.MaxValue): DataFrame =
+      ops.Dedup.jaccardPairsOf(docs, minJ, dfCap)
 
     /** 16-bit SimHash duplicate groups (signature → count > 1). */
     def simhashGroups(docs: DataFrame): DataFrame =
@@ -121,6 +125,10 @@ object Graft {
 
     /** Distinct-token ratio + top-bigram fraction repetition filters. */
     def repetition(docs: DataFrame): DataFrame = ops.Text.repetitionOf(docs)
+
+    /** TF-IDF keyword extraction: top-k terms per doc by tf·ln(N/df). */
+    def tfidfTop(docs: DataFrame, k: Int = 3): DataFrame =
+      ops.Text.tfidfTopOf(docs, k)
   }
 
   /** Event-time operators. */

@@ -103,6 +103,8 @@ object SparkEntry {
     "q_token_count" -> (Text.qTokenCount _),
     "q_fingerprint" -> (Text.qFingerprint _),
     "q_ngram_top" -> (Text.qNgramTop _),
+    "q_tfidf_top" -> (Text.qTfidfTop _),
+    "q_sample_stratified" -> (Text.qSampleStratified _),
     "q_fingerprint_rolling" -> (Text.qFingerprintRolling _),
     "q_mm_frames" -> (Multimodal.qMmFrames _),
     "q_text_redact" -> (Text.qTextRedact _),

@@ -205,6 +205,74 @@ object Text {
       .orderBy("lang", "rn")
   }
 
+  /** TF-IDF keyword extraction: top-3 terms per document by
+    * tf · ln(N/df) — the classic corpus-statistics feature stage (search
+    * indexing, topic labeling, near-dup explanation). Shape: one narrow
+    * token explode, tf in one groupBy, df as a second aggregate joined
+    * back on the term (df table is O(vocabulary) — shuffle-joined, NOT
+    * broadcast: real vocabularies outgrow a broadcast at corpus scale),
+    * then a per-doc top-k window. N is COUNT(DISTINCT doc) over the
+    * token table so both engines derive it identically; the score
+    * rounds to 6 decimals after one double multiply of ln(N/df) —
+    * division and log on identical rationals, engine-exact in practice.
+    */
+  def qTfidfTop(spark: SparkSession, dir: String): DataFrame =
+    tfidfTopOf(Tables.documentsSpread(spark, dir), 3)
+
+  /** Same operator over any (doc_id, text) frame; top `k` terms/doc. */
+  def tfidfTopOf(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), " ", -1)).as("w"))
+      .filter(col("w") =!= "")
+    val tf = toks.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy(col("w"))
+      .agg(count_distinct(col("doc_id")).as("df"))
+    val n = toks.agg(count_distinct(col("doc_id")).as("n"))
+    val win = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("w").asc)
+    tf.join(df, "w").crossJoin(broadcast(n)) // N is 1 row; df is NOT
+      .withColumn("score", round(col("tf") *
+        log(col("n").cast("double") / col("df").cast("double")), 6))
+      .withColumn("rk", row_number().over(win).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk"), col("w").as("term"), col("score"))
+      .orderBy("doc_id", "rk")
+  }
+
+  /** Stratified (per-source) sampling — the training-mix rebalancer:
+    * each source stratum keeps a different deterministic fraction
+    * (1000/500/200/100 per mille by source index mod 4) decided by an
+    * md5-derived per-doc draw, so the sample is reproducible across
+    * runs, engines, and partitionings (the at-scale requirement RNG
+    * sampling can't meet — re-running must not resample). One narrow
+    * filter, no shuffle before the per-source audit aggregate.
+    */
+  /** Uniform-ish per-doc draw in [0, 1000): integer arithmetic over md5
+    * hex bytes of the decimal doc id — `md5Arg` is the engine's
+    * string-to-md5-input spelling, everything else shared verbatim.
+    */
+  private def sampleDraw(md5Arg: String): String =
+    s"(CAST(ascii(substr(md5($md5Arg), 1, 1)) AS BIGINT) * 65536 " +
+      s"+ ascii(substr(md5($md5Arg), 2, 1)) * 256 " +
+      s"+ ascii(substr(md5($md5Arg), 3, 1))) % 1000"
+
+  private val sampleRate =
+    "CASE CAST(substr(source, 4) AS BIGINT) % 4 " +
+      "WHEN 0 THEN 1000 WHEN 1 THEN 500 WHEN 2 THEN 200 ELSE 100 END"
+
+  def qSampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val draw = sampleDraw("CAST(CAST(doc_id AS STRING) AS BINARY)")
+    Tables.documents(spark, dir)
+      .filter(expr(s"($draw) < $sampleRate"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_chars")).as("chars_kept"))
+      .orderBy("source")
+  }
+
   /** Redaction: mask stopword tokens and any all-digit tokens — the
     * PII-scrub shape (here over word-boundary regexes shared by Java and
     * RE2). Output is the md5 of the redacted text to keep rows narrow.
@@ -351,6 +419,32 @@ object Text {
         |      FROM c)
         |SELECT lang, bg, cnt, rn FROM r WHERE rn <= 3 ORDER BY lang, rn"""
         .stripMargin,
+    "q_sample_stratified" ->
+      s"""SELECT source, COUNT(*) AS n_kept,
+         |  CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+         |FROM documents
+         |WHERE (${sampleDraw("CAST(doc_id AS VARCHAR)")}) < $sampleRate
+         |GROUP BY source ORDER BY source""".stripMargin,
+    "q_tfidf_top" ->
+      """WITH toks AS (
+        |  SELECT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        |    FROM documents) WHERE w <> ''),
+        |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM toks GROUP BY doc_id, w),
+        |df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY w),
+        |n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM toks),
+        |s AS (
+        |  SELECT tf.doc_id, tf.w,
+        |    round(tf.tf * ln(CAST(n.n AS DOUBLE) / CAST(df.df AS DOUBLE)), 6)
+        |      AS score
+        |  FROM tf JOIN df USING (w) CROSS JOIN n),
+        |r AS (
+        |  SELECT doc_id, w, score,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, w ASC) AS BIGINT) AS rk
+        |  FROM s)
+        |SELECT doc_id, rk, w AS term, score FROM r WHERE rk <= 3
+        |ORDER BY doc_id, rk""".stripMargin,
     "q_text_redact" ->
       """SELECT doc_id,
         |  md5(regexp_replace(
