@@ -44,6 +44,31 @@ class GraftApiSpec extends SparkTestBase {
     assert(Graft.text.repetition(docs).count() == 2)
   }
 
+  test("Graft round-4 surface: argv pipe, capped jaccard, LSH, tfidf") {
+    import spark.implicits._
+    // argv pipe: argument with a space survives unsplit
+    val piped = Graft.mr.pipeArgv(Seq("keep me", "drop").toDS().repartition(1),
+      Seq("grep", "keep me")).collect()
+    assert(piped.toSeq == Seq("keep me"))
+    // capped jaccard: a corpus-wide stop-shingle emits no pairs at cap 1
+    val docs = Seq((1L, "x y z common tail phrase"),
+        (2L, "a b c common tail phrase"),
+        (3L, "p q r common tail phrase")).toDF("doc_id", "text")
+    assert(Graft.dedup.jaccardPairs(docs, 0.01).count() == 3)
+    assert(Graft.dedup.jaccardPairs(docs, 0.01, dfCap = 1).count() == 0)
+    // hyperplane buckets: one row per table, geometry respected
+    val emb = Tables.embeddings(spark, sfDir).limit(8)
+    val b = Graft.sim.lshBuckets(emb, tables = 2, bits = 5)
+    assert(b.count() == 16)
+    assert(b.select("bucket").collect().forall(_.getString(0).length == 5))
+    // embedding near-dups: self-pairing corpus finds its duplicates
+    val dup = emb.union(emb.withColumn("vec_id", col("vec_id") + 1000))
+    assert(Graft.dedup.embedNearDups(dup, 0.999).count() >= 8)
+    // tfidf: k terms per doc, rank within k
+    val kw = Graft.text.tfidfTop(docs, 2)
+    assert(kw.groupBy("doc_id").count().collect().forall(_.getLong(1) <= 2))
+  }
+
   test("Graft.events.asofJoin on ad-hoc frames") {
     import spark.implicits._
     val l = Seq((1L, 10L, 100L), (2L, 10L, 200L)).toDF("id", "k", "t")
