@@ -219,7 +219,14 @@ object Text {
   def qTfidfTop(spark: SparkSession, dir: String): DataFrame =
     tfidfTopOf(Tables.documentsSpread(spark, dir), 3)
 
-  /** Same operator over any (doc_id, text) frame; top `k` terms/doc. */
+  /** Same operator over any (doc_id, text) frame; top `k` terms/doc.
+    * df and N derive from the tf TABLE, not from a second pass over the
+    * raw token stream: df(w) = #docs containing w = #tf rows for w, so
+    * the corpus is tokenized once and the df aggregate runs over
+    * O(doc·distinct-terms) rows instead of O(tokens) — and because the
+    * tf subtree is identical on both join sides, Spark reuses its
+    * exchange (one shuffle write, two readers) rather than re-scanning.
+    */
   def tfidfTopOf(docs: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = docs
@@ -228,9 +235,10 @@ object Text {
       .filter(col("w") =!= "")
     val tf = toks.groupBy(col("doc_id"), col("w"))
       .agg(count(lit(1)).as("tf"))
-    val df = toks.groupBy(col("w"))
-      .agg(count_distinct(col("doc_id")).as("df"))
-    val n = toks.agg(count_distinct(col("doc_id")).as("n"))
+    val df = tf.groupBy(col("w"))
+      .agg(count(lit(1)).as("df"))
+    val n = tf.select(col("doc_id")).distinct()
+      .agg(count(lit(1)).as("n"))
     val win = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("w").asc)
     tf.join(df, "w").crossJoin(broadcast(n)) // N is 1 row; df is NOT
