@@ -60,6 +60,13 @@ object Graft {
       dfCap: Long = Long.MaxValue): DataFrame =
       ops.Dedup.jaccardPairsOf(docs, minJ, dfCap)
 
+    /** Exact Jaccard scored ONLY on given candidate pairs (the scale
+      * path: candidates → verify → resolve).
+      */
+    def verifyCandidates(docs: DataFrame, cand: DataFrame,
+      minJ: Double): DataFrame =
+      ops.Dedup.candidateJaccard(docs, cand, minJ)
+
     /** 16-bit SimHash duplicate groups (signature → count > 1). */
     def simhashGroups(docs: DataFrame): DataFrame =
       ops.Dedup.simhashGroupsOf(docs)

@@ -119,6 +119,7 @@ object SparkEntry {
     "q_dedup_simhash" -> (Dedup.qDedupSimhash _),
     "q_dedup_embed" -> (Dedup.qDedupEmbed _),
     "q_dedup_resolve" -> (Dedup.qDedupResolve _),
+    "q_dedup_verify" -> (Dedup.qDedupVerify _),
     "q_dedup_quality" -> (Dedup.qDedupQuality _),
     // similarity search (embeddings)
     "q_sim_topk" -> (Sim.qSimTopK _),

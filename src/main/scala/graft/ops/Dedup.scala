@@ -205,6 +205,45 @@ object Dedup {
     jaccardPairsOf(Tables.documentsSpread(spark, dir), 0.1, JaccardDfCap)
       .orderBy("doc_a", "doc_b")
 
+  /** Production near-dup verification — the at-scale playbook's step 2:
+    * exact Jaccard computed ONLY on the MinHash candidate pairs, per pair
+    * via array_intersect of the two docs' (distinct, sorted) shingle
+    * sets. Cost is O(candidates × avg set size) with NO posting-list
+    * pair explosion — the inverted-index pipeline ([[jaccardPairsOf]])
+    * answers "all co-shingle pairs", this answers "score what LSH
+    * surfaced", which is what a 100 TB run actually executes. Keeps
+    * pairs at/above the duplicate threshold 0.5.
+    */
+  def qDedupVerify(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documentsSpread(spark, dir)
+    candidateJaccard(docs, minhashPairsOf(docs), 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Exact Jaccard on given candidate pairs over any (doc_id, text)
+    * frame: shingle sets ride the two joins as array columns (shuffle on
+    * doc id), intersections run per-pair, narrow.
+    */
+  def candidateJaccard(docs: DataFrame, cand: DataFrame,
+    minJ: Double): DataFrame = {
+    val sets = docs
+      .withColumn("w", split(lower(col("text")), " ", -1))
+      .select(col("doc_id"), expr(
+        """CASE WHEN size(w) >= 3 THEN
+          |  array_sort(array_distinct(transform(sequence(1, size(w) - 2),
+          |    i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1),
+          |                   element_at(w, i + 2)))))
+          |ELSE array() END""".stripMargin).as("shl"))
+    cand.select(col("doc_a"), col("doc_b"))
+      .join(sets.select(col("doc_id").as("doc_a"), col("shl").as("sha")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("shl").as("shb")), "doc_b")
+      .withColumn("shared", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("jaccard", col("shared").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("shared")))
+      .filter(col("jaccard") >= minJ)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   /** LSH-candidate quality measurement: every production dedup pipeline
     * needs to know what its candidate generator is worth. Joins the
     * MinHash band candidates against exact Jaccard over all co-shingle
@@ -489,6 +528,23 @@ object Dedup {
           |JOIN card cb ON cb.doc_id = doc_b
           |WHERE CAST(shared AS DOUBLE)/(ca.n + cb.n - shared) >= 0.1
           |ORDER BY doc_a, doc_b""".stripMargin),
+    "q_dedup_verify" ->
+      s"""WITH $minhashPairsCtes,
+         |sets AS (
+         |  SELECT doc_id, list_sort(list(DISTINCT s)) AS shl
+         |  FROM sh GROUP BY doc_id),
+         |scored AS (
+         |  SELECT p.doc_a, p.doc_b,
+         |    len(list_intersect(a.shl, b.shl)) AS shared,
+         |    len(a.shl) AS na, len(b.shl) AS nb
+         |  FROM pairs p
+         |  JOIN sets a ON a.doc_id = p.doc_a
+         |  JOIN sets b ON b.doc_id = p.doc_b)
+         |SELECT doc_a, doc_b,
+         |  CAST(shared AS DOUBLE)/(na + nb - shared) AS jaccard
+         |FROM scored
+         |WHERE CAST(shared AS DOUBLE)/(na + nb - shared) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "q_dedup_jaccard_capped" ->
       (shingleSqlCte +
         s""",

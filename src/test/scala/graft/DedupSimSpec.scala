@@ -60,6 +60,25 @@ class DedupSimSpec extends SparkTestBase {
     }
   }
 
+  test("candidate verification == full jaccard restricted to candidates") {
+    // The scale path (score only LSH candidates) must agree exactly with
+    // the inverted-index pipeline on the pairs both can see: same shingle
+    // recipe, same |A∩B|/|A∪B| arithmetic, just a different join shape.
+    val cand = Dedup.minhashPairsOf(graft.Tables.documents(spark, sfDir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.jaccardPairs(spark, sfDir, 0.5).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val verified = Dedup.qDedupVerify(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(verified.nonEmpty, "corpus should contain verified near-dups")
+    assert(verified.keySet.subsetOf(cand),
+      "verification must only score candidate pairs")
+    val expected = full.filter { case (p, _) => cand(p) }
+    assert(verified == expected,
+      s"mismatch: only-verified=${verified.keySet -- expected.keySet} " +
+        s"only-full=${expected.keySet -- verified.keySet}")
+  }
+
   test("ivf: deterministic, scores exact, results from probed clusters only") {
     val a = Sim.qSimIvf(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getDouble(1))).toSeq
