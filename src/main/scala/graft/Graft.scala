@@ -67,6 +67,12 @@ object Graft {
       minJ: Double): DataFrame =
       ops.Dedup.candidateJaccard(docs, cand, minJ)
 
+    /** Keep the highest-quality doc per resolved near-dup cluster
+      * (ties → min doc_id) — the pipeline's final keep/drop decision.
+      */
+    def keepBest(clusters: DataFrame, quality: DataFrame): DataFrame =
+      ops.Dedup.keepBestOf(clusters, quality)
+
     /** 16-bit SimHash duplicate groups (signature → count > 1). */
     def simhashGroups(docs: DataFrame): DataFrame =
       ops.Dedup.simhashGroupsOf(docs)
@@ -151,5 +157,34 @@ object Graft {
       outCol: String): DataFrame =
       plans.AsOfJoin(left, right, key, leftTime, leftTie, rightKey,
         rightTime, rightTie, payload, outCol)
+  }
+
+  /** Training-pipeline composites: packing, splits, incremental dedup,
+    * upsert, bloom-pre-filtered joins (`ops.Pipeline`).
+    */
+  object pipeline {
+    /** Concat-and-chunk packing of docs into `budget`-token sequences,
+      * per source shard; per-sequence stats.
+      */
+    def packSequences(docs: DataFrame,
+      budget: Long = ops.Pipeline.PackBudget): DataFrame =
+      ops.Pipeline.packSequencesOf(docs, budget)
+
+    /** Stable hash-based 90/5/5 train/val/test split column. */
+    def withSplit(docs: DataFrame): DataFrame =
+      ops.Pipeline.withSplit(docs)
+
+    /** Per-source new-vs-corpus counts for an incoming batch; both
+      * frames must carry (source, fp).
+      */
+    def incrementalDedup(corpus: DataFrame, batch: DataFrame): DataFrame =
+      ops.Pipeline.incrementalOf(corpus, batch)
+
+    /** Pre-filter `fact` by a broadcast bloom filter over `dim`'s join
+      * keys; compose with the real join for exact results.
+      */
+    def bloomPrefilter(fact: DataFrame, factKey: String,
+      dim: DataFrame, dimKey: String, expectedKeys: Long): DataFrame =
+      ops.Pipeline.bloomPrefilter(fact, factKey, dim, dimKey, expectedKeys)
   }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Core, Dedup, Events, Multimodal, Relational, Relational2, Relational3, Sim, Skew, Text}
+import graft.ops.{Core, Dedup, Events, Multimodal, Pipeline, Relational, Relational2, Relational3, Sim, Skew, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -120,7 +120,14 @@ object SparkEntry {
     "q_dedup_embed" -> (Dedup.qDedupEmbed _),
     "q_dedup_resolve" -> (Dedup.qDedupResolve _),
     "q_dedup_verify" -> (Dedup.qDedupVerify _),
+    "q_dedup_keep_best" -> (Dedup.qDedupKeepBest _),
     "q_dedup_quality" -> (Dedup.qDedupQuality _),
+    "q_dedup_incremental" -> (Pipeline.qDedupIncremental _),
+    // training-pipeline composites
+    "q_pack_sequences" -> (Pipeline.qPackSequences _),
+    "q_split_train" -> (Pipeline.qSplitTrain _),
+    "q_merge_upsert" -> (Pipeline.qMergeUpsert _),
+    "q_bloom_join" -> (Pipeline.qBloomJoin _),
     // similarity search (embeddings)
     "q_sim_topk" -> (Sim.qSimTopK _),
     "q_sim_topk_native" -> (Sim.qSimTopKNative _),
@@ -295,7 +302,8 @@ object SparkEntry {
         |  COUNT(DISTINCT l_partkey) AS n_parts,
         |  TRUE AS approx_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-  ) ++ Text.oracles ++ Dedup.oracles ++ Sim.oracles ++ Events.oracles ++
+  ) ++ Text.oracles ++ Dedup.oracles ++ Pipeline.oracles ++
+    Sim.oracles ++ Events.oracles ++
     Multimodal.oracles ++ Relational2.oracles ++ Relational3.oracles ++
     graft.ops.Relational4.oracles ++ graft.ops.Relational5.oracles ++
     graft.ops.Relational6.oracles ++ graft.ops.Relational7.oracles ++

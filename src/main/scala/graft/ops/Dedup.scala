@@ -40,7 +40,7 @@ object Dedup {
     * verbatim by Spark SQL and DuckDB, so both engines derive identical
     * permutation inputs without any hex-parse builtin.
     */
-  private def hornerH(mcol: String): String =
+  private[ops] def hornerH(mcol: String): String =
     (2 to 8).foldLeft(s"CAST(ascii(substr($mcol, 1, 1)) AS BIGINT)") {
       (acc, i) => s"($acc * 31 + ascii(substr($mcol, $i, 1)))"
     }
@@ -397,6 +397,40 @@ object Dedup {
     }
   }
 
+  /** End-to-end dedup decision: candidates → connected components →
+    * keep the highest-quality member of each near-dup cluster (ties →
+    * min doc_id). This is the operator a training pipeline actually
+    * runs: everything upstream (minhash, resolve, quality) exists to
+    * produce this keep/drop list. Per-cluster selection is one window
+    * over the (tiny) resolved-cluster frame — the corpus-sized quality
+    * scan stays narrow and the shuffle key is canonical_id, whose
+    * groups are bounded by near-dup cluster size.
+    */
+  def qDedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documentsSpread(spark, dir)
+    keepBestOf(
+      resolveComponents(spark, minhashPairsOf(docs), ResolveDriverThreshold),
+      Text.qualityOf(docs))
+  }
+
+  /** Per-cluster argmax over any (doc_id, canonical_id) × (doc_id, ...,
+    * quality_score) pair of frames.
+    */
+  def keepBestOf(clusters: DataFrame, quality: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byCluster = Window.partitionBy(col("canonical_id"))
+    val ranked = Window.partitionBy(col("canonical_id"))
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    clusters
+      .join(quality.select(col("doc_id"), col("quality_score")), "doc_id")
+      .withColumn("n_members", count(lit(1)).over(byCluster))
+      .withColumn("rn", row_number().over(ranked))
+      .filter(col("rn") === 1)
+      .select(col("canonical_id"), col("doc_id").as("keep_doc_id"),
+        col("n_members"), col("quality_score").as("best_score"))
+      .orderBy("canonical_id")
+  }
+
   /** Embedding-cosine near-dup: multi-table hyperplane LSH candidates
     * ([[Sim.withBuckets]] / [[HyperplaneLsh]] — default 4 tables × 8
     * bits), exact cosine only on candidates, threshold 0.3.
@@ -493,6 +527,29 @@ object Dedup {
          |  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.doc)
          |SELECT doc AS doc_id, MIN(root) AS canonical_id
          |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin,
+    "q_dedup_keep_best" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT a AS doc, a AS root FROM edges
+         |  UNION
+         |  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.doc),
+         |comp AS (
+         |  SELECT doc AS doc_id, MIN(root) AS canonical_id
+         |  FROM reach GROUP BY doc),
+         |q AS (${Text.qualityScoreSql}),
+         |ranked AS (
+         |  SELECT comp.canonical_id, comp.doc_id, q.quality_score,
+         |    COUNT(*) OVER (PARTITION BY comp.canonical_id) AS n_members,
+         |    ROW_NUMBER() OVER (PARTITION BY comp.canonical_id
+         |      ORDER BY q.quality_score DESC, comp.doc_id ASC) AS rn
+         |  FROM comp JOIN q ON q.doc_id = comp.doc_id)
+         |SELECT canonical_id, doc_id AS keep_doc_id,
+         |  CAST(n_members AS BIGINT) AS n_members,
+         |  quality_score AS best_score
+         |FROM ranked WHERE rn = 1 ORDER BY canonical_id""".stripMargin,
     "q_dedup_quality" ->
       s"""WITH $minhashPairsCtes,
          |dsh AS (SELECT DISTINCT doc_id, s FROM sh),

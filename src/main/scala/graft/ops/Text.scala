@@ -34,6 +34,32 @@ object Text {
   private val stopFr = Seq("le", "la", "les", "et", "est", "un")
   private val stopEs = Seq("el", "los", "las", "y", "es", "un")
 
+  /** DuckDB stopword-count expression over `text` (English list) —
+    * shared by the quality oracles here and the dedup keep-best oracle.
+    */
+  private[ops] lazy val stopEnCountSql: String =
+    s"CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN ${stopEn.map(s => s"'$s'").mkString("(", ", ", ")")})) AS BIGINT)"
+
+  /** DuckDB subquery yielding (doc_id, quality_score) with the exact
+    * expression tree of [[qualityOf]] — embeddable as a CTE body by any
+    * oracle that needs per-doc quality (e.g. dedup keep-best).
+    */
+  private[ops] lazy val qualityScoreSql: String =
+    s"""SELECT doc_id,
+       |  stop_ratio * 0.5 + (1.0 - punct_ratio) * 0.3 +
+       |    CASE WHEN n_tokens >= 20 AND n_tokens <= 1000 THEN 0.2 ELSE 0.0 END
+       |    AS quality_score
+       |FROM (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(n_stop AS DOUBLE)/n_tokens AS stop_ratio,
+       |    CAST(n_punct AS DOUBLE)/n_chars AS punct_ratio
+       |  FROM (
+       |    SELECT doc_id, n_chars,
+       |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |      $stopEnCountSql AS n_stop,
+       |      CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT) AS n_punct
+       |    FROM documents))""".stripMargin
+
   private def inList(xs: Seq[String]): String =
     xs.map(s => s"'$s'").mkString("(", ", ", ")")
 
@@ -482,8 +508,7 @@ object Text {
          |      FROM documents)
          |ORDER BY doc_id""".stripMargin
     },
-    "q_quality" -> {
-      val sc = s"CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN ${stopEn.map(s => s"'$s'").mkString("(", ", ", ")")})) AS BIGINT)"
+    "q_quality" ->
       s"""SELECT doc_id, n_tokens, n_stop, avg_token_len, stop_ratio, punct_ratio,
          |  quality_score, quality_score > 0.25 AND n_tokens >= 10 AS keep
          |FROM (
@@ -499,12 +524,11 @@ object Text {
          |    FROM (
          |      SELECT doc_id, n_chars,
          |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-         |        $sc AS n_stop,
+         |        $stopEnCountSql AS n_stop,
          |        CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT) AS n_punct,
          |        CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_nospace
          |      FROM documents)))
-         |ORDER BY doc_id""".stripMargin
-    },
+         |ORDER BY doc_id""".stripMargin,
     "q_token_count" ->
       """SELECT doc_id,
         |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS BIGINT) AS ws_tokens,

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Pipeline
+
+/** Semantic invariants for the training-pipeline composites, beyond
+  * the DuckDB oracle equality the gate checks.
+  */
+class PipelineSpec extends SparkTestBase {
+
+  test("packing conserves tokens and numbers sequences contiguously") {
+    val packed = Pipeline.qPackSequences(spark, sfDir).collect()
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("source"),
+        ceil(length(col("text")) / 4.0).cast("long").as("toks"))
+      .groupBy("source").agg(sum("toks").as("total"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bySource = packed.groupBy(_.getString(0))
+    bySource.foreach { case (src, rows) =>
+      // every token lands in exactly one sequence
+      assert(rows.map(_.getLong(3)).sum == docs(src),
+        s"token totals must be conserved for $src")
+      // seq ids are 0..n-1 with no gaps (the stream is contiguous)
+      val ids = rows.map(_.getLong(1)).sorted
+      assert(ids.toSeq == (0L until ids.length).toSeq,
+        s"sequence ids must be contiguous for $src")
+      rows.foreach(r => assert(r.getLong(2) >= 1))
+    }
+    // doc ranges of consecutive sequences must not interleave
+    bySource.foreach { case (_, rows) =>
+      val ordered = rows.sortBy(_.getLong(1))
+      ordered.sliding(2).foreach {
+        case Array(a, b) => assert(a.getLong(5) <= b.getLong(4))
+        case _ =>
+      }
+    }
+  }
+
+  test("hash split is stable, disjoint, and complete") {
+    val once = Pipeline.withSplit(Tables.documents(spark, sfDir))
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val again = Pipeline.withSplit(
+      Tables.documents(spark, sfDir).repartition(7))
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(once == again, "split must be independent of partitioning")
+    val n = once.size
+    val frac = once.values.groupBy(identity).map { case (k, v) =>
+      k -> v.size.toDouble / n }
+    assert(frac("train") > 0.8 && frac("train") < 0.97)
+    assert(once.values.forall(Set("train", "val", "test")))
+  }
+
+  test("incremental dedup: new <= batch, unique <= new") {
+    Pipeline.qDedupIncremental(spark, sfDir).collect().foreach { r =>
+      val (batch, nu, uniq) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nu <= batch && uniq <= nu)
+    }
+  }
+
+  test("merge audit partitions the merged rowset") {
+    val r = Pipeline.qMergeUpsert(spark, sfDir).collect().head
+    assert(r.getLong(0) == r.getLong(1) + r.getLong(2) + r.getLong(3))
+    assert(r.getLong(1) > 0 && r.getLong(2) > 0 && r.getLong(3) > 0)
+  }
+
+  test("bloom prefilter never changes the join result") {
+    val li = Tables.lineitem(spark, sfDir)
+    val urgent = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+    val plain = li
+      .join(urgent, col("l_orderkey") === col("o_orderkey")).count()
+    val filtered = Pipeline
+      .bloomPrefilter(li, "l_orderkey", urgent, "o_orderkey", 100000L)
+      .join(urgent, col("l_orderkey") === col("o_orderkey")).count()
+    assert(plain == filtered, "false positives must be removed by the join")
+    // and the prefilter actually prunes fact rows before the join
+    val kept = Pipeline
+      .bloomPrefilter(li, "l_orderkey", urgent, "o_orderkey", 100000L)
+      .count()
+    assert(kept < li.count(), "prefilter should drop non-matching rows")
+  }
+}
