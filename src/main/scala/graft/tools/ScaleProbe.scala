@@ -56,6 +56,13 @@ object ScaleProbe {
       // posting list is collected.
       time(s"jaccard cap4 ${k}x")(
         graft.ops.Dedup.jaccardPairsOf(docs, 0.1, dfCap = 4).count())
+      // the at-scale playbook's step 1 as an operator: exact Jaccard
+      // scored ONLY on the LSH candidates — cost tracks the candidate
+      // count (true near-dup mass), not Σdf², so unlike the uncapped
+      // inverted index it cannot blow up on boilerplate
+      time(s"jaccard verify ${k}x")(
+        graft.ops.Dedup.candidateJaccard(
+          docs, graft.ops.Dedup.minhashPairsOf(docs), 0.5).count())
       if (k == 10) {
         // resolve strategy parity at the largest probe: driver union-find
         // vs the forced-distributed label-propagation loop (threshold=0)
@@ -67,6 +74,12 @@ object ScaleProbe {
           graft.ops.Dedup.resolveComponents(spark, pairs, Long.MaxValue).count())
         time(s"resolve dist ${k}x")(
           graft.ops.Dedup.resolveComponents(spark, pairs, 0).count())
+        // end-to-end decision: clusters × quality → one survivor per
+        // cluster; the window shuffles only the resolved-cluster frame
+        time(s"keep best ${k}x")(
+          graft.ops.Dedup.keepBestOf(
+            graft.ops.Dedup.resolveComponents(spark, pairs, Long.MaxValue),
+            graft.ops.Text.qualityOf(docs)).count())
         pairs.unpersist()
       }
       docs.unpersist()
