@@ -186,5 +186,11 @@ object Graft {
     def bloomPrefilter(fact: DataFrame, factKey: String,
       dim: DataFrame, dimKey: String, expectedKeys: Long): DataFrame =
       ops.Pipeline.bloomPrefilter(fact, factKey, dim, dimKey, expectedKeys)
+
+    /** Long-format numeric column profile (one scan; exact distincts —
+      * swap to approx_count_distinct at corpus scale).
+      */
+    def profile(df: DataFrame, cols: Seq[String]): DataFrame =
+      ops.Profile.profileOf(df, cols)
   }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Core, Dedup, Events, Multimodal, Pipeline, Relational, Relational2, Relational3, Sim, Skew, Text}
+import graft.ops.{Core, Dedup, Events, Multimodal, Pipeline, Profile, Relational, Relational2, Relational3, Sim, Skew, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -128,6 +128,8 @@ object SparkEntry {
     "q_split_train" -> (Pipeline.qSplitTrain _),
     "q_merge_upsert" -> (Pipeline.qMergeUpsert _),
     "q_bloom_join" -> (Pipeline.qBloomJoin _),
+    "q_profile" -> (Profile.qProfile _),
+    "q_constraints" -> (Profile.qConstraints _),
     // similarity search (embeddings)
     "q_sim_topk" -> (Sim.qSimTopK _),
     "q_sim_topk_native" -> (Sim.qSimTopKNative _),
@@ -303,7 +305,7 @@ object SparkEntry {
         |  TRUE AS approx_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   ) ++ Text.oracles ++ Dedup.oracles ++ Pipeline.oracles ++
-    Sim.oracles ++ Events.oracles ++
+    Profile.oracles ++ Sim.oracles ++ Events.oracles ++
     Multimodal.oracles ++ Relational2.oracles ++ Relational3.oracles ++
     graft.ops.Relational4.oracles ++ graft.ops.Relational5.oracles ++
     graft.ops.Relational6.oracles ++ graft.ops.Relational7.oracles ++

@@ -80,6 +80,12 @@ object Sources {
   def readJson(spark: SparkSession, in: String): DataFrame =
     spark.read.json(in)
 
+  def writeOrc(df: DataFrame, out: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(out)
+
+  def readOrc(spark: SparkSession, in: String): DataFrame =
+    spark.read.orc(in)
+
   /** Partitioned-by-column parquet layout (the at-rest partitioning that
     * makes partition pruning work at scale).
     */

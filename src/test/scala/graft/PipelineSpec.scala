@@ -66,6 +66,34 @@ class PipelineSpec extends SparkTestBase {
     assert(r.getLong(1) > 0 && r.getLong(2) > 0 && r.getLong(3) > 0)
   }
 
+  test("profile: one row per column, counts partition the table") {
+    val n = Tables.lineitem(spark, sfDir).count()
+    val prof = Graft.pipeline.profile(Tables.lineitem(spark, sfDir),
+      Seq("l_quantity", "l_discount")).collect()
+    assert(prof.length == 2)
+    prof.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) == n, "n_values + n_nulls == n")
+      assert(r.getLong(3) <= r.getLong(1), "distinct <= non-null")
+      assert(r.getDouble(4) <= r.getDouble(5), "min <= max")
+    }
+  }
+
+  test("constraints fire on bad data and stay zero on clean data") {
+    val clean = ops.Profile.qConstraints(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(clean.values.forall(_ == 0L), s"clean batch must report zeros: $clean")
+    // truncate orders -> orphan lineitem keys must be counted
+    val li = Tables.lineitem(spark, sfDir)
+    val halfOrders = Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") % 2 === 0)
+    val fired = ops.Profile.constraintsOf(li, halfOrders).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expectedOrphans = li
+      .join(halfOrders, col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .count()
+    assert(fired("orderkey_orphan") == expectedOrphans && expectedOrphans > 0)
+  }
+
   test("bloom prefilter never changes the join result") {
     val li = Tables.lineitem(spark, sfDir)
     val urgent = Tables.orders(spark, sfDir)

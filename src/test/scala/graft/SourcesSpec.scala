@@ -91,6 +91,21 @@ class SourcesSpec extends SparkTestBase {
       df.collect().map(_.toSeq).toSet)
   }
 
+  test("orc round-trip preserves values and pushes filters") {
+    val df = graft.Tables.orders(spark, sfDir)
+    val out = Files.createTempDirectory("graft-orc").toString
+    Sources.writeOrc(df, out)
+    val back = Sources.readOrc(spark, out)
+    assert(back.collect().map(_.toSeq).toSet ==
+      df.collect().map(_.toSeq).toSet)
+    // ORC is a predicate-pushdown source too: the filter must reach it
+    val plan = back.filter(org.apache.spark.sql.functions
+        .col("o_orderkey") === 1L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,1)]"),
+      s"expected pushed filter in:\n$plan")
+  }
+
   test("permissive json ingestion captures corrupt records") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft-badjson")
