@@ -76,6 +76,7 @@ object SparkEntry {
     "q_stream_sliding" -> (graft.streaming.Streaming.qStreamSliding _),
     "q_stream_join" -> (graft.streaming.Streaming.qStreamJoin _),
     "q_stream_dedup" -> (graft.streaming.Streaming.qStreamDedup _),
+    "q_stream_upsert" -> (graft.streaming.Streaming.qStreamUpsert _),
     "q_join_hinted" -> (graft.ops.Relational7.qJoinHinted _),
     "q_stats_agg" -> (graft.ops.Relational6.qStatsAgg _),
     "q_string_funcs2" -> (graft.ops.Relational6.qStringFuncs2 _),

@@ -311,7 +311,72 @@ object Streaming {
       .orderBy("event_id")
   }
 
+  /** Streaming CDC materialization: the stream upserts into a keyed
+    * store via foreachBatch — per micro-batch, reduce the batch to one
+    * latest-wins row per user (max over a (ts, event_id, …) struct, so
+    * "latest" is a total order), then full-outer-merge it with the
+    * current store version and write the next version. The input is
+    * staged into 4 files and read with maxFilesPerTrigger=1, so the
+    * gate genuinely exercises ≥4 merge rounds, and the merge itself is
+    * order-independent (pairwise max over a total order + additive
+    * counts), which is what makes the result deterministic no matter
+    * how the feed is batched. Versioned directories stand in for a
+    * table format's atomic commit (Delta/Iceberg at cluster scale —
+    * same shape, real transaction log); each merge shuffles only
+    * (store keys + batch keys), never the event history.
+    */
+  def qStreamUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val stage = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_stream_ups_" + dir.replaceAll("[^a-zA-Z0-9]", "_"))
+      .getAbsolutePath
+    if (stagedDirs.add(s"$dir->$stage"))
+      graft.Tables.events(spark, dir).repartition(4)
+        .write.mode("overwrite").parquet(stage)
+    val target = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_stream_upsert_${runSeq.incrementAndGet()}").getAbsolutePath
+    @volatile var version = 0 // foreachBatch bodies run on the driver
+    val q = spark.readStream.schema(eventSchema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val latest = batch.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            max(struct(col("ts"), col("event_id"), col("event_type"),
+              col("value"))).as("last"))
+        val merged =
+          if (version == 0) latest
+          else spark.read.parquet(s"$target/v$version").as("c")
+            .join(latest.as("n"), Seq("user_id"), "full_outer")
+            .select(col("user_id"),
+              (coalesce(col("c.n_events"), lit(0L))
+                + coalesce(col("n.n_events"), lit(0L))).as("n_events"),
+              when(col("c.last").isNull, col("n.last"))
+                .when(col("n.last").isNull, col("c.last"))
+                .when(col("n.last") > col("c.last"), col("n.last"))
+                .otherwise(col("c.last")).as("last"))
+        merged.write.mode("overwrite").parquet(s"$target/v${version + 1}")
+        version += 1
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(s"$target/v$version")
+      .select(col("user_id"), col("n_events"),
+        col("last.event_type").as("last_type"),
+        col("last.value").as("last_value"))
+      .orderBy("user_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_stream_upsert" ->
+      """WITH ranked AS (
+        |  SELECT user_id, event_type, value,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n_events,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+        |  event_type AS last_type, value AS last_value
+        |FROM ranked WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "q_stream_dedup" ->
       """SELECT event_id, event_type FROM events ORDER BY event_id""",
     "q_stream_join" ->

@@ -80,6 +80,33 @@ class StreamingSpec extends SparkTestBase {
     assert(got.select("event_id").distinct().count() == base.count())
   }
 
+  test("streaming upsert == batch latest-wins, across real micro-batches") {
+    import org.apache.spark.sql.functions._
+    val got = Streaming.qStreamUpsert(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2), r.getDouble(3)))).toMap
+    // batch twin: per user, count + fields of the (ts, event_id)-max event
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+    val want = graft.Tables.events(spark, sfDir)
+      .withColumn("n_events", count(lit(1)).over(w))
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("n_events"), col("event_type"), col("value"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2), r.getDouble(3)))).toMap
+    assert(got == want)
+    // and the run really merged more than one micro-batch: the staged
+    // input is 4 files at maxFilesPerTrigger=1, so versions >= 2 exist
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    val stores = tmp.listFiles()
+      .filter(_.getName.startsWith("graft_stream_upsert_"))
+    assert(stores.exists(_.listFiles().count(_.getName.startsWith("v")) >= 2),
+      "expected a versioned store with >= 2 merge rounds")
+  }
+
   test("session state folds incrementally across micro-batches") {
     import org.apache.spark.api.java.Optional
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
