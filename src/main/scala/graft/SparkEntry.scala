@@ -131,6 +131,7 @@ object SparkEntry {
     "q_bloom_join" -> (Pipeline.qBloomJoin _),
     "q_profile" -> (Profile.qProfile _),
     "q_constraints" -> (Profile.qConstraints _),
+    "q_sketch_union" -> (Profile.qSketchUnion _),
     // similarity search (embeddings)
     "q_sim_topk" -> (Sim.qSimTopK _),
     "q_sim_topk_native" -> (Sim.qSimTopKNative _),

@@ -85,7 +85,38 @@ object Profile {
       .orderBy("rule")
   }
 
+  /** Mergeable-sketch rollup — the 100 TB distinct-count pattern: each
+    * shard builds an HLL sketch independently (here: per l_returnflag
+    * group via `hll_sketch_agg`), and the corpus-wide estimate comes
+    * from UNIONING the sketches (`hll_union_agg`), never from
+    * re-scanning rows. That mergeability is what lets a pipeline keep
+    * per-partition/per-day sketches materialized and answer global
+    * distinct questions incrementally. Output pins the exact count and
+    * a within-2%% accuracy flag (the estimate itself is
+    * sketch-seed-dependent, so the flag — not the estimate — is the
+    * oracle-stable value, same contract as `q_approx_distinct`).
+    */
+  def qSketchUnion(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val perShard = li.groupBy(col("l_returnflag"))
+      .agg(hll_sketch_agg(col("l_partkey"), 12).as("sk"))
+    val merged = perShard.agg(
+      count(lit(1)).as("n_shards"),
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_union"))
+    val exact = li.agg(count_distinct(col("l_partkey")).as("n_exact"))
+    merged.crossJoin(exact)
+      .select(col("n_shards"), col("n_exact"),
+        (abs(col("approx_union") - col("n_exact"))
+          <= col("n_exact").cast("double") * 0.02).as("union_ok"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_sketch_union" ->
+      """SELECT
+        |  (SELECT CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) FROM lineitem) AS n_shards,
+        |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_exact,
+        |  TRUE AS union_ok
+        |FROM lineitem""".stripMargin,
     "q_profile" -> {
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       val agg = cols.map { c =>

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** The user-facing façade works end-to-end on plain frames — the
@@ -67,6 +68,39 @@ class GraftApiSpec extends SparkTestBase {
     // tfidf: k terms per doc, rank within k
     val kw = Graft.text.tfidfTop(docs, 2)
     assert(kw.groupBy("doc_id").count().collect().forall(_.getLong(1) <= 2))
+  }
+
+  test("Graft.pipeline lane on ad-hoc frames") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i =>
+        (i, ("tok " * (i % 7 + 1).toInt).trim, if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "text", "source")
+    // packing: budget 8 tokens -> multiple sequences per source
+    val packed = Graft.pipeline.packSequences(docs, budget = 8L)
+    assert(packed.select("source").distinct().count() == 2)
+    assert(packed.count() > 2, "tiny budget must split into sequences")
+    // split column: total preserved, only the three values
+    val split = Graft.pipeline.withSplit(docs)
+    assert(split.count() == 40)
+    assert(split.select("split").distinct().collect()
+      .forall(r => Set("train", "val", "test")(r.getString(0))))
+    // incremental dedup: batch of 2 dup + 1 new against a 3-doc corpus
+    val fp = (d: DataFrame) => d.withColumn("fp", md5(col("text").cast("binary")))
+    val corpus = fp(Seq((1L, "aaa", "s"), (2L, "bbb", "s"), (3L, "ccc", "s"))
+      .toDF("doc_id", "text", "source"))
+    val batch = fp(Seq((10L, "aaa", "s"), (11L, "bbb", "s"), (12L, "zzz", "s"))
+      .toDF("doc_id", "text", "source"))
+    val inc = Graft.pipeline.incrementalDedup(corpus, batch).collect().head
+    assert(inc.getLong(1) == 3 && inc.getLong(2) == 1 && inc.getLong(3) == 1)
+    // keep-best: the higher-quality doc of a 2-doc cluster survives
+    val clusters = Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "canonical_id")
+    val quality = Seq((1L, 0.2), (2L, 0.9)).toDF("doc_id", "quality_score")
+    val kept = Graft.dedup.keepBest(clusters, quality).collect()
+    assert(kept.length == 1 && kept.head.getLong(1) == 2L
+      && kept.head.getLong(2) == 2L)
+    // profile facade: one row per requested column
+    assert(Graft.pipeline.profile(docs.withColumn("v", col("doc_id") * 2),
+      Seq("doc_id", "v")).count() == 2)
   }
 
   test("Graft.events.asofJoin on ad-hoc frames") {

@@ -94,6 +94,21 @@ class PipelineSpec extends SparkTestBase {
     assert(fired("orderkey_orphan") == expectedOrphans && expectedOrphans > 0)
   }
 
+  test("sketch union is lossless: merged shards == direct sketch") {
+    val li = Tables.lineitem(spark, sfDir)
+    val merged = li.groupBy(col("l_returnflag"))
+      .agg(hll_sketch_agg(col("l_partkey"), 12).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .collect().head.getLong(0)
+    val direct = li
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("l_partkey"), 12)).as("est"))
+      .collect().head.getLong(0)
+    assert(merged == direct,
+      "unioning per-shard sketches must equal sketching all rows")
+    val row = ops.Profile.qSketchUnion(spark, sfDir).collect().head
+    assert(row.getBoolean(2), "union estimate must be within 2% of exact")
+  }
+
   test("bloom prefilter never changes the join result") {
     val li = Tables.lineitem(spark, sfDir)
     val urgent = Tables.orders(spark, sfDir)
