@@ -192,5 +192,12 @@ object Graft {
       */
     def profile(df: DataFrame, cols: Seq[String]): DataFrame =
       ops.Profile.profileOf(df, cols)
+
+    /** Compact a fragmented parquet directory to ~targetFileBytes
+      * files; returns the file count chosen.
+      */
+    def compact(spark: SparkSession, inDir: String, outDir: String,
+      targetFileBytes: Long = 128L << 20): Int =
+      sources.Sources.compactParquet(spark, inDir, outDir, targetFileBytes)
   }
 }

@@ -80,6 +80,26 @@ object Sources {
   def readJson(spark: SparkSession, in: String): DataFrame =
     spark.read.json(in)
 
+  /** Small-files compaction — the landing-zone maintenance op every
+    * streaming ingest needs: size the output file count from the
+    * input's actual bytes (ceil(total / targetFileBytes)), one
+    * round-robin repartition, rewrite. At 100 TB this runs per
+    * partition directory (compact yesterday's dirty partitions, not
+    * the table); the repartition is the only shuffle and it carries
+    * each byte once. Returns the chosen file count.
+    */
+  def compactParquet(spark: SparkSession, inDir: String, outDir: String,
+    targetFileBytes: Long): Int = {
+    val path = new org.apache.hadoop.fs.Path(inDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val total = fs.listStatus(path)
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    val n = math.max(1, math.ceil(total.toDouble / targetFileBytes).toInt)
+    spark.read.parquet(inDir).repartition(n)
+      .write.mode(SaveMode.Overwrite).parquet(outDir)
+    n
+  }
+
   def writeOrc(df: DataFrame, out: String): Unit =
     df.write.mode(SaveMode.Overwrite).orc(out)
 

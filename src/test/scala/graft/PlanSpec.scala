@@ -42,6 +42,17 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), s"plan:\n${p.take(1500)}")
   }
 
+  test("global sort is range-partitioned, not single-reducer") {
+    // the reference's global sort funnels everything through ONE reducer
+    // (grep pattern, SURVEY §2b); ours must be a range-partitioned
+    // parallel sort — every partition sorts its key range independently
+    val df = graft.Tables.lineitem(spark, sfDir)
+      .orderBy(org.apache.spark.sql.functions.col("l_extendedprice"))
+    val p = plan(df)
+    assert(p.contains("rangepartitioning"),
+      s"global sort must use range partitioning:\n${p.take(1500)}")
+  }
+
   test("range join broadcasts the band table (nested loop on tiny side)") {
     val p = plan(Relational2.qRangeJoin(spark, sfDir))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),

@@ -91,6 +91,20 @@ class SourcesSpec extends SparkTestBase {
       df.collect().map(_.toSeq).toSet)
   }
 
+  test("compaction shrinks a fragmented landing zone, values intact") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val frag = Files.createTempDirectory("graft-frag").toString
+    docs.repartition(32).write.mode("overwrite").parquet(frag)
+    def parquetFiles(d: String) =
+      new java.io.File(d).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(frag) == 32)
+    val out = Files.createTempDirectory("graft-compact").toString
+    Sources.compactParquet(spark, frag, out, targetFileBytes = 64L << 20)
+    assert(parquetFiles(out) == 1, "tiny table must compact to one file")
+    assert(spark.read.parquet(out).collect().map(_.toSeq).toSet ==
+      docs.collect().map(_.toSeq).toSet)
+  }
+
   test("orc round-trip preserves values and pushes filters") {
     val df = graft.Tables.orders(spark, sfDir)
     val out = Files.createTempDirectory("graft-orc").toString
