@@ -67,7 +67,8 @@ object Bench {
       "q_dedup_jaccard_capped", "q_dedup_simhash", "q_dedup_embed",
       "q_dedup_resolve", "q_dedup_verify", "q_dedup_keep_best",
       "q_dedup_quality", "q_dedup_incremental",
-      "q_pack_sequences", "q_split_train", "q_merge_upsert", "q_bloom_join",
+      "q_pack_sequences", "q_split_train", "q_mix_sources",
+      "q_merge_upsert", "q_bloom_join",
       "q_profile", "q_constraints", "q_sketch_union",
       "q_sim_topk", "q_sim_topk_native", "q_sim_lsh", "q_sim_ivf",
       "q_sim_ivf_kmeans", "q_sim_label_coherence",

@@ -174,6 +174,12 @@ object Graft {
     def withSplit(docs: DataFrame): DataFrame =
       ops.Pipeline.withSplit(docs)
 
+    /** Down-sample sources to target mixture weights (binding source
+      * keeps ~everything); per-source audit of kept docs/tokens.
+      */
+    def mixSources(docs: DataFrame): DataFrame =
+      ops.Pipeline.mixSourcesOf(docs)
+
     /** Per-source new-vs-corpus counts for an incoming batch; both
       * frames must carry (source, fp).
       */

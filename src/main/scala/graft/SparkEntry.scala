@@ -128,6 +128,7 @@ object SparkEntry {
     "q_pack_sequences" -> (Pipeline.qPackSequences _),
     "q_split_train" -> (Pipeline.qSplitTrain _),
     "q_merge_upsert" -> (Pipeline.qMergeUpsert _),
+    "q_mix_sources" -> (Pipeline.qMixSources _),
     "q_bloom_join" -> (Pipeline.qBloomJoin _),
     "q_profile" -> (Profile.qProfile _),
     "q_constraints" -> (Profile.qConstraints _),

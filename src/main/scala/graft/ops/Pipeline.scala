@@ -87,6 +87,45 @@ object Pipeline {
         sum(ceil(length(col("text")) / 4.0).cast("long")).as("n_tokens"))
       .orderBy("split", "source")
 
+  /** Source mixing — rebalance a multi-source corpus to target mixture
+    * weights (per-mille, from the source index: 400/300/200/100) by
+    * DOWN-sampling only: the binding source (smallest tokens/weight
+    * ratio) sets the achievable budget, every other source's per-mille
+    * keep-rate follows as floor(1000·R·w/t), and membership is the
+    * md5-derived per-doc draw — reproducible across runs, engines, and
+    * partitionings, like all sampling here. Cost: one token aggregate
+    * (O(sources) rows), a broadcast of the rate table, one narrow
+    * filter pass. No upsampling: repeating docs to hit a weight is a
+    * training-time concern (epochs per source), not a data-prep one.
+    */
+  def qMixSources(spark: SparkSession, dir: String): DataFrame =
+    mixSourcesOf(Tables.documents(spark, dir))
+
+  /** Same operator over any (doc_id, source, text) frame. */
+  def mixSourcesOf(docs: DataFrame): DataFrame = {
+    val weighted = docs
+      .withColumn("toks", ceil(length(col("text")) / 4.0).cast("long"))
+      .withColumn("w_pm", expr(MixWeightSql))
+    val perSource = weighted.groupBy(col("source"), col("w_pm"))
+      .agg(sum(col("toks")).as("t_s"))
+    val bind = perSource.agg(
+      min(col("t_s").cast("double") / col("w_pm")).as("r"))
+    val rates = perSource.crossJoin(broadcast(bind))
+      .withColumn("rate_pm",
+        floor(lit(1000.0) * col("r") * col("w_pm") / col("t_s")).cast("long"))
+      .select(col("source"), col("rate_pm"))
+    val draw = Text.sampleDraw("CAST(CAST(doc_id AS STRING) AS BINARY)")
+    weighted.join(broadcast(rates), "source")
+      .filter(expr(s"($draw) < rate_pm"))
+      .groupBy(col("source"), col("rate_pm"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("toks")).as("tokens_kept"))
+      .orderBy("source")
+  }
+
+  private val MixWeightSql =
+    "CASE CAST(substr(source, 4) AS BIGINT) % 4 " +
+      "WHEN 0 THEN 400 WHEN 1 THEN 300 WHEN 2 THEN 200 ELSE 100 END"
+
   /** Incremental dedup: a new batch (doc_id % 10 = 0 models the
     * incoming shard) is fingerprinted and anti-joined against the
     * existing corpus's distinct fingerprints — the nightly-ingest shape
@@ -223,6 +262,28 @@ object Pipeline {
          |  source, COUNT(*) AS n_docs,
          |  CAST(SUM(CAST(ceil(length(text)/4.0) AS BIGINT)) AS BIGINT) AS n_tokens
          |FROM b GROUP BY split, source ORDER BY split, source""".stripMargin,
+    "q_mix_sources" -> {
+      val draw = Text.sampleDraw("CAST(doc_id AS VARCHAR)")
+      s"""WITH t AS (
+         |  SELECT source, doc_id,
+         |    CAST(ceil(length(text)/4.0) AS BIGINT) AS toks,
+         |    $MixWeightSql AS w_pm
+         |  FROM documents),
+         |per_source AS (
+         |  SELECT source, w_pm, CAST(SUM(toks) AS BIGINT) AS t_s
+         |  FROM t GROUP BY source, w_pm),
+         |bind AS (
+         |  SELECT MIN(CAST(t_s AS DOUBLE) / w_pm) AS r FROM per_source),
+         |rates AS (
+         |  SELECT source,
+         |    CAST(floor(1000.0 * r * w_pm / t_s) AS BIGINT) AS rate_pm
+         |  FROM per_source CROSS JOIN bind)
+         |SELECT t.source, rates.rate_pm, COUNT(*) AS n_kept,
+         |  CAST(SUM(toks) AS BIGINT) AS tokens_kept
+         |FROM t JOIN rates ON rates.source = t.source
+         |WHERE ($draw) < rate_pm
+         |GROUP BY t.source, rates.rate_pm ORDER BY t.source""".stripMargin
+    },
     "q_dedup_incremental" ->
       """WITH fp AS (
         |  SELECT doc_id, source,

@@ -288,7 +288,7 @@ object Text {
     * hex bytes of the decimal doc id — `md5Arg` is the engine's
     * string-to-md5-input spelling, everything else shared verbatim.
     */
-  private def sampleDraw(md5Arg: String): String =
+  private[ops] def sampleDraw(md5Arg: String): String =
     s"(CAST(ascii(substr(md5($md5Arg), 1, 1)) AS BIGINT) * 65536 " +
       s"+ ascii(substr(md5($md5Arg), 2, 1)) * 256 " +
       s"+ ascii(substr(md5($md5Arg), 3, 1))) % 1000"

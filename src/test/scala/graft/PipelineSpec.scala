@@ -53,6 +53,20 @@ class PipelineSpec extends SparkTestBase {
     assert(once.values.forall(Set("train", "val", "test")))
   }
 
+  test("source mixing: binding source saturates, rates deterministic") {
+    val docs = Tables.documents(spark, sfDir)
+    val mixed = ops.Pipeline.mixSourcesOf(docs).collect()
+    assert(mixed.nonEmpty)
+    val rates = mixed.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rates.values.forall(r => r > 0 && r <= 1000))
+    // the binding source's floor(1000·R·w/t) is 1000 up to fp rounding
+    assert(rates.values.max >= 999,
+      s"binding source must keep ~everything: $rates")
+    // deterministic under repartitioning (the reproducibility contract)
+    val again = ops.Pipeline.mixSourcesOf(docs.repartition(13)).collect()
+    assert(mixed.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+  }
+
   test("incremental dedup: new <= batch, unique <= new") {
     Pipeline.qDedupIncremental(spark, sfDir).collect().foreach { r =>
       val (batch, nu, uniq) = (r.getLong(1), r.getLong(2), r.getLong(3))
