@@ -107,6 +107,38 @@ class StreamingSpec extends SparkTestBase {
       "expected a versioned store with >= 2 merge rounds")
   }
 
+  test("checkpoint resume processes only newly arrived files") {
+    import org.apache.spark.sql.functions._
+    // landing zone with half the events; fixed checkpoint dir
+    val events = graft.Tables.events(spark, sfDir)
+    val half = events.filter(col("event_id") % 2 === 0)
+    val rest = events.filter(col("event_id") % 2 =!= 0)
+    val land = java.nio.file.Files
+      .createTempDirectory("graft-ckpt-land").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-ckpt-state").toString
+    half.write.mode("append").parquet(land)
+    val processed = new java.util.concurrent.atomic.AtomicLong(0)
+    def runOnce(): Long = {
+      processed.set(0)
+      val q = spark.readStream.schema(Streaming.eventSchema).parquet(land)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          processed.addAndGet(b.count()); ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      processed.get()
+    }
+    assert(runOnce() == half.count(), "first run sees the staged half")
+    assert(runOnce() == 0L, "an unchanged zone must replay NOTHING")
+    rest.write.mode("append").parquet(land)
+    assert(runOnce() == rest.count(),
+      "resume must process exactly the newly arrived files")
+  }
+
   test("session state folds incrementally across micro-batches") {
     import org.apache.spark.api.java.Optional
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
