@@ -53,7 +53,8 @@ object Bench {
     // relational, events, text, dedup, similarity, multimodal, streaming).
     val headline = Seq(
       "wc_shell", "wc_python", "grep", "pipe_cat",
-      "q1_pricing", "q_join_nation_revenue", "q_topk_customers",
+      "q1_pricing", "q_join_nation_revenue", "q3_shipping",
+      "q_topk_customers",
       "q_filter_project", "q_topk_typed", "q_scalar_subquery", "q_rollup",
       "q_cube", "q_window_rank", "q_window_range", "q_session_window",
       "q_salted_join", "q_salted_agg", "q_range_join", "q_sql_entry",

@@ -29,6 +29,7 @@ object SparkEntry {
     "q1_pricing" -> (Relational.q1PricingSummary _),
     "q_filter_project" -> (Relational.qFilterProject _),
     "q_join_nation_revenue" -> (Relational.qJoinNationRevenue _),
+    "q3_shipping" -> (Relational.q3Shipping _),
     "q_join_left" -> (Relational.qJoinLeft _),
     "q_join_semi" -> (Relational.qJoinSemi _),
     "q_join_anti" -> (Relational.qJoinAnti _),
@@ -198,6 +199,19 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q3_shipping" ->
+      """SELECT l_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'MACHINERY'
+        |  AND o_orderdate < TIMESTAMP '1998-07-01'
+        |  AND l_shipdate > TIMESTAMP '1998-07-01'
+        |GROUP BY l_orderkey, order_date
+        |ORDER BY revenue DESC, order_date ASC, l_orderkey ASC
+        |LIMIT 10""".stripMargin,
     "q_join_left" ->
       """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
         |  COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 0.0) AS total_spent

@@ -79,6 +79,29 @@ object Relational {
       .orderBy("r_name", "n_name")
   }
 
+  /** TPC-H Q3-flavor shipping-priority query — the canonical 3-way
+    * analytic join: selective filters on ALL THREE inputs (segment on
+    * customer, date windows on orders/lineitem) reach the scans, the
+    * filtered customer side broadcasts, and the top-10 lands in
+    * TakeOrderedAndProject — no global sort, no unfiltered scan.
+    */
+  def q3Shipping(spark: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1998-07-01").cast("timestamp")
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "MACHINERY")
+    val o = Tables.orders(spark, dir).filter(col("o_orderdate") < cut)
+    val l = Tables.lineitem(spark, dir).filter(col("l_shipdate") > cut)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+      .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("order_date").asc,
+        col("l_orderkey").asc)
+      .limit(10)
+  }
+
   /** Left outer join keeping customers with zero orders. */
   def qJoinLeft(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)

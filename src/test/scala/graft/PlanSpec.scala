@@ -42,6 +42,18 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), s"plan:\n${p.take(1500)}")
   }
 
+  test("q3: filters pushed on all three inputs, top-10 without global sort") {
+    val p = plan(Relational.q3Shipping(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), s"no top-k operator:\n${p.take(1500)}")
+    assert(p.contains("EqualTo(c_mktsegment,MACHINERY)"),
+      "segment filter must reach the customer scan")
+    assert(p.contains("LessThan(o_orderdate,") &&
+      p.contains("GreaterThan(l_shipdate,"),
+      "date filters must reach the orders/lineitem scans")
+    assert(p.contains("BroadcastHashJoin"),
+      "filtered customer side should broadcast")
+  }
+
   test("global sort is range-partitioned, not single-reducer") {
     // the reference's global sort funnels everything through ONE reducer
     // (grep pattern, SURVEY §2b); ours must be a range-partitioned
