@@ -56,10 +56,10 @@ object Bench {
       "q1_pricing", "q_join_nation_revenue", "q3_shipping",
       "q_topk_customers",
       "q_filter_project", "q_topk_typed", "q_scalar_subquery", "q_rollup",
-      "q_cube", "q_window_rank", "q_window_range", "q_session_window",
+      "q_cube", "q_window_rank", "q_session_window",
       "q_salted_join", "q_salted_agg", "q_range_join", "q_sql_entry",
       "q_partition_pruning", "q_sample_hash", "q_approx_quantiles",
-      "q_unpivot", "q_pivot",
+      "q_unpivot",
       "q_event_asof", "q_event_sessions", "q_event_tumbling",
       "q_token_count", "q_lang_id", "q_quality", "q_text_repetition",
       "q_text_chunk", "q_fingerprint_rolling", "q_ngram_top",
@@ -71,8 +71,9 @@ object Bench {
       "q_pack_sequences", "q_split_train", "q_mix_sources",
       "q_merge_upsert", "q_bloom_join",
       "q_profile", "q_constraints", "q_sketch_union",
-      "q_sim_topk", "q_sim_topk_native", "q_sim_lsh", "q_sim_ivf",
+      "q_sim_topk", "q_sim_lsh", "q_sim_ivf",
       "q_sim_ivf_kmeans", "q_sim_label_coherence",
+      "q_sim_batch_topk", "q_sim_batch_ivf", "q_sim_quantize",
       "q_mm_meta", "q_mm_features", "q_mm_resize", "q_mm_frames",
       "q_stream_tumbling", "q_stream_sliding", "q_stream_sessions",
       "q_stream_join", "q_stream_dedup", "q_stream_upsert")

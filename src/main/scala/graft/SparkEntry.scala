@@ -141,6 +141,9 @@ object SparkEntry {
     "q_sim_ivf" -> (Sim.qSimIvf _),
     "q_sim_ivf_kmeans" -> (Sim.qSimIvfKmeans _),
     "q_sim_label_coherence" -> (Sim.qSimLabelCoherence _),
+    "q_sim_batch_topk" -> (graft.ops.Sim2.qSimBatchTopK _),
+    "q_sim_batch_ivf" -> (graft.ops.Sim2.qSimBatchIvf _),
+    "q_sim_quantize" -> (graft.ops.Sim2.qSimQuantize _),
     // event-time (events)
     "q_event_tumbling" -> (Events.qEventTumbling _),
     "q_event_sessions" -> (Events.qEventSessions _),
@@ -322,7 +325,8 @@ object SparkEntry {
         |  TRUE AS approx_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   ) ++ Text.oracles ++ Dedup.oracles ++ Pipeline.oracles ++
-    Profile.oracles ++ Sim.oracles ++ Events.oracles ++
+    Profile.oracles ++ Sim.oracles ++ graft.ops.Sim2.oracles ++
+    Events.oracles ++
     Multimodal.oracles ++ Relational2.oracles ++ Relational3.oracles ++
     graft.ops.Relational4.oracles ++ graft.ops.Relational5.oracles ++
     graft.ops.Relational6.oracles ++ graft.ops.Relational7.oracles ++

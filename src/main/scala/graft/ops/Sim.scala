@@ -129,7 +129,7 @@ object Sim {
   /** Squared L2 distance between a float array and a double-array centroid,
     * left-to-right accumulation (identical fold order on the oracle side).
     */
-  private def sqDistExpr(emb: Column, cen: Column): Column =
+  private[ops] def sqDistExpr(emb: Column, cen: Column): Column =
     aggregate(zip_with(emb, cen,
         (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
       lit(0.0), (acc, v) => acc + v)

@@ -1,0 +1,231 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Batch similarity search and embedding compression — the shapes a
+  * training-data pipeline actually runs at scale. The single-query ANN in
+  * [[Sim]] broadcasts one vector; real retrieval/dedup jobs score a whole
+  * QUERY SET (millions of held-out or eval vectors) against the corpus.
+  * Two architectures, by query-set size:
+  *
+  *  - [[qSimBatchTopK]] — query set fits in a broadcast: corpus streams
+  *    once, each partition scores locally, and the per-query top-k is a
+  *    bounded-state [[graft.functions.TopKAggregator]], so the shuffle
+  *    carries O(queries·k) rows instead of O(corpus·queries) scored pairs.
+  *  - [[qSimBatchIvf]] — query set too big to broadcast: both sides are
+  *    assigned to IVF inverted lists and the scoring join is co-partitioned
+  *    on the list id (queries expand ×nprobe). No broadcast anywhere; each
+  *    probe touches ~nprobe/k of the corpus, and the list id is the at-rest
+  *    partition key so file pruning applies too.
+  *
+  * [[qSimQuantize]] is the storage-side lever: int8 scalar quantization
+  * (4× smaller than float32) with per-vector fidelity measured against the
+  * exact embedding — the check a pipeline runs before switching its ANN
+  * index to quantized codes.
+  */
+object Sim2 {
+
+  /** Every 100th vector is a query; the rest are the corpus. */
+  private val QueryPred = "vec_id % 100 = 0"
+
+  /** Per-query brute-force cosine top-3 over the corpus, query set
+    * broadcast, top-k via the typed bounded Aggregator. Scores are rounded
+    * to 6 decimals BEFORE ranking (ties then break on vec_id ASC) so the
+    * oracle's window formulation reproduces the exact same list.
+    */
+  def qSimBatchTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val e = Tables.embeddingsSpread(spark, dir)
+    val q = broadcast(e.filter(expr(QueryPred))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
+    e.filter(not(expr(QueryPred)))
+      .crossJoin(q)
+      .select(col("q_id"), col("vec_id"),
+        round(expr("cosine_sim(embedding, q_emb)"), 6).as("cos"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(new graft.functions.TopKAggregator(3).toColumn.name("topk"))
+      .flatMap { case (qid, items) =>
+        items.zipWithIndex.map { case ((vid, cos), i) => (qid, i + 1, vid, cos) }
+      }
+      .toDF("q_id", "rank", "vec_id", "cos_sim")
+      .withColumn("rank", col("rank").cast("int"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** Deterministic label-mean IVF codebook (DECIMAL(30,15) accumulation so
+    * the means are bit-identical on both engines) — same recipe as
+    * [[Sim.qSimIvf]], factored for the batch path.
+    */
+  private def labelCentroids(e: DataFrame): DataFrame = e
+    .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+    .groupBy(col("label"), col("pos"))
+    .agg((sum(col("x").cast("double")
+        .cast(org.apache.spark.sql.types.DecimalType(30, 15)))
+      .cast("double") / count(lit(1))).as("m"))
+    .groupBy(col("label"))
+    .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
+      .as("centroid"))
+    .select(col("label").as("c_label"), col("centroid"))
+
+  /** Batch IVF ANN: corpus vectors live in their nearest inverted list;
+    * each query expands to its nprobe=2 nearest lists; the scoring join is
+    * an equi-join on the LIST id — both sides shuffle-partitioned by it,
+    * nothing broadcast but the k-row codebook. That is the shape that
+    * survives a query set too large for a broadcast: shuffle volume is
+    * corpus + nprobe·queries, and scored pairs stay local to their list's
+    * partition. Per-query top-3 again via the bounded Aggregator.
+    */
+  def qSimBatchIvf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val e = Tables.embeddingsSpread(spark, dir)
+    val centroids = labelCentroids(e)
+    val dists = e.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("d", Sim.sqDistExpr(col("embedding"), col("centroid")))
+      .select(col("vec_id"), col("c_label"), col("d"))
+    val wNearest = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d").asc, col("c_label").asc)
+    val ranked = dists.withColumn("rn", row_number().over(wNearest))
+    // corpus side: nearest list only; query side: nprobe nearest lists
+    val corpus = e.filter(not(expr(QueryPred)))
+      .join(ranked.filter(col("rn") === 1)
+        .select(col("vec_id"), col("c_label").as("lst")), "vec_id")
+    val queries = e.filter(expr(QueryPred))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .join(ranked.filter(col("rn") <= 2)
+        .select(col("vec_id").as("q_id"), col("c_label").as("lst")), "q_id")
+    corpus.join(queries, "lst")
+      .select(col("q_id"), col("vec_id"),
+        round(expr("cosine_sim(embedding, q_emb)"), 6).as("cos"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(new graft.functions.TopKAggregator(3).toColumn.name("topk"))
+      .flatMap { case (qid, items) =>
+        items.zipWithIndex.map { case ((vid, cos), i) => (qid, i + 1, vid, cos) }
+      }
+      .toDF("q_id", "rank", "vec_id", "cos_sim")
+      .withColumn("rank", col("rank").cast("int"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** Int8 scalar quantization fidelity: per vector, min/max-scaled codes in
+    * 0..255, dequantized back, then (a) cosine between the exact and the
+    * dequantized vector and (b) the worst per-element absolute error. Both
+    * are pure double IEEE arithmetic in the same operation order as the
+    * DuckDB oracle, rounded to 6 decimals. At scale this runs as a single
+    * narrow pass — the decision input for storing the ANN index at 1/4 the
+    * bytes.
+    */
+  def qSimQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddingsSpread(spark, dir)
+      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("mn", expr("array_min(v)"))
+      .withColumn("mx", expr("array_max(v)"))
+      .withColumn("scale", expr("greatest((mx - mn) / 255.0, 1e-12)"))
+      .withColumn("dq",
+        expr("transform(v, x -> mn + round((x - mn) / scale) * scale)"))
+    e.select(col("vec_id"),
+        round(Sim.cosineFromParts(col("v"), col("dq"),
+          Sim.normExpr(col("v")), Sim.normExpr(col("dq"))), 6)
+          .as("cos_fidelity"),
+        round(expr("array_max(zip_with(v, dq, (x, y) -> abs(x - y)))"), 6)
+          .as("max_abs_err"))
+      .orderBy("vec_id")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_sim_batch_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+        |  WHERE vec_id % 100 = 0),
+        |c AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 <> 0),
+        |s AS (
+        |  SELECT q.q_id, c.vec_id,
+        |    round(list_sum(list_transform(list_zip(c.embedding, q.q_emb),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(c.embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(q.q_emb,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos_sim
+        |  FROM c CROSS JOIN q)
+        |SELECT q_id, CAST(rn AS INT) AS rank, vec_id, cos_sim FROM (
+        |  SELECT q_id, vec_id, cos_sim,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos_sim DESC, vec_id ASC) AS rn
+        |  FROM s) WHERE rn <= 3
+        |ORDER BY q_id, rank""".stripMargin,
+    "q_sim_batch_ivf" ->
+      """WITH cm AS (
+        |  SELECT label, pos,
+        |    CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE)
+        |      / COUNT(*) AS m
+        |  FROM (SELECT label, unnest(embedding) AS x,
+        |          CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos
+        |        FROM embeddings)
+        |  GROUP BY label, pos),
+        |cent AS (
+        |  SELECT label, list(m ORDER BY pos) AS centroid FROM cm GROUP BY label),
+        |dist AS (
+        |  SELECT e.vec_id, c.label,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_sum(list_transform(list_zip(e.embedding, c.centroid),
+        |        p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])))
+        |      ASC, c.label ASC) AS rn
+        |  FROM embeddings e CROSS JOIN cent c),
+        |corpus AS (
+        |  SELECT e.vec_id, e.embedding, d.label AS lst
+        |  FROM embeddings e JOIN dist d ON d.vec_id = e.vec_id AND d.rn = 1
+        |  WHERE e.vec_id % 100 <> 0),
+        |queries AS (
+        |  SELECT e.vec_id AS q_id, e.embedding AS q_emb, d.label AS lst
+        |  FROM embeddings e JOIN dist d ON d.vec_id = e.vec_id AND d.rn <= 2
+        |  WHERE e.vec_id % 100 = 0),
+        |s AS (
+        |  SELECT q.q_id, c.vec_id,
+        |    round(list_sum(list_transform(list_zip(c.embedding, q.q_emb),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(c.embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(q.q_emb,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos_sim
+        |  FROM corpus c JOIN queries q ON c.lst = q.lst)
+        |SELECT q_id, CAST(rn AS INT) AS rank, vec_id, cos_sim FROM (
+        |  SELECT q_id, vec_id, cos_sim,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos_sim DESC, vec_id ASC) AS rn
+        |  FROM s) WHERE rn <= 3
+        |ORDER BY q_id, rank""".stripMargin,
+    "q_sim_quantize" ->
+      """WITH b AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT vec_id, v,
+        |    greatest((list_max(v) - list_min(v)) / 255.0, 1e-12) AS scale,
+        |    list_min(v) AS mn
+        |  FROM b),
+        |d AS (
+        |  SELECT vec_id, v,
+        |    list_transform(v, x -> mn + round((x - mn) / scale) * scale) AS dq
+        |  FROM p)
+        |SELECT vec_id,
+        |  round(list_sum(list_transform(list_zip(v, dq), z -> z[1] * z[2]))
+        |    / (sqrt(list_sum(list_transform(v, x -> x * x)))
+        |       * sqrt(list_sum(list_transform(dq, x -> x * x)))), 6)
+        |    AS cos_fidelity,
+        |  round(list_max(list_transform(list_zip(v, dq),
+        |    z -> abs(z[1] - z[2]))), 6) AS max_abs_err
+        |FROM d ORDER BY vec_id""".stripMargin,
+  )
+}
