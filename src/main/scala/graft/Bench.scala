@@ -63,7 +63,8 @@ object Bench {
       "q_event_asof", "q_event_sessions", "q_event_tumbling",
       "q_token_count", "q_lang_id", "q_quality", "q_text_repetition",
       "q_text_chunk", "q_fingerprint_rolling", "q_ngram_top",
-      "q_contamination", "q_tfidf_top", "q_sample_stratified",
+      "q_contamination", "q_tfidf_top", "q_pmi_bigrams",
+      "q_sample_stratified",
       "q_dedup_exact", "q_dedup_minhash", "q_dedup_jaccard",
       "q_dedup_jaccard_capped", "q_dedup_simhash", "q_dedup_embed",
       "q_dedup_resolve", "q_dedup_verify", "q_dedup_keep_best",

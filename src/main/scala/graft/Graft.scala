@@ -142,6 +142,12 @@ object Graft {
     /** TF-IDF keyword extraction: top-k terms per doc by tf·ln(N/df). */
     def tfidfTop(docs: DataFrame, k: Int = 3): DataFrame =
       ops.Text.tfidfTopOf(docs, k)
+
+    /** PMI collocations: top-k adjacent token pairs by pointwise mutual
+      * information (the BPE-style merge-rule signal).
+      */
+    def pmiBigrams(docs: DataFrame, minCount: Int = 3, k: Int = 15): DataFrame =
+      ops.Text2.pmiBigramsOf(docs, minCount, k)
   }
 
   /** Event-time operators. */

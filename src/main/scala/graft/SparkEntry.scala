@@ -106,6 +106,7 @@ object SparkEntry {
     "q_fingerprint" -> (Text.qFingerprint _),
     "q_ngram_top" -> (Text.qNgramTop _),
     "q_tfidf_top" -> (Text.qTfidfTop _),
+    "q_pmi_bigrams" -> (graft.ops.Text2.qPmiBigrams _),
     "q_sample_stratified" -> (Text.qSampleStratified _),
     "q_fingerprint_rolling" -> (Text.qFingerprintRolling _),
     "q_mm_frames" -> (Multimodal.qMmFrames _),
@@ -324,7 +325,7 @@ object SparkEntry {
         |  COUNT(DISTINCT l_partkey) AS n_parts,
         |  TRUE AS approx_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-  ) ++ Text.oracles ++ Dedup.oracles ++ Pipeline.oracles ++
+  ) ++ Text.oracles ++ graft.ops.Text2.oracles ++ Dedup.oracles ++ Pipeline.oracles ++
     Profile.oracles ++ Sim.oracles ++ graft.ops.Sim2.oracles ++
     Events.oracles ++
     Multimodal.oracles ++ Relational2.oracles ++ Relational3.oracles ++
