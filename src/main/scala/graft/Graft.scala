@@ -115,6 +115,22 @@ object Graft {
       bits: Int = ops.HyperplaneLsh.DefaultBits,
       dim: Int = ops.HyperplaneLsh.DefaultDim): DataFrame =
       ops.Sim.withBuckets(emb, tables, bits, dim)
+
+    /** Batch ANN, brute force: rows of `emb` matching `queryPred` form
+      * the (broadcast) query set; per-query cosine top-k arrives via the
+      * bounded-state Aggregator (shuffle O(queries·k)).
+      */
+    def batchTopK(emb: DataFrame, queryPred: String, k: Int = 3): DataFrame =
+      ops.Sim2.batchTopKOf(emb, queryPred, k)
+
+    /** Batch ANN, IVF: corpus and nprobe-expanded queries co-partitioned
+      * on the inverted-list id — the no-broadcast shape for query sets
+      * too large to broadcast (`emb` needs a `label` column for the
+      * deterministic codebook).
+      */
+    def batchIvf(emb: DataFrame, queryPred: String,
+      nprobe: Int = 2, k: Int = 3): DataFrame =
+      ops.Sim2.batchIvfOf(emb, queryPred, nprobe, k)
   }
 
   /** Text-analysis operators over any (doc_id LONG, text STRING, ...)

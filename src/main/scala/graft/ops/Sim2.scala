@@ -36,20 +36,20 @@ object Sim2 {
     * to 6 decimals BEFORE ranking (ties then break on vec_id ASC) so the
     * oracle's window formulation reproduces the exact same list.
     */
-  def qSimBatchTopK(spark: SparkSession, dir: String): DataFrame = {
+  def qSimBatchTopK(spark: SparkSession, dir: String): DataFrame =
+    batchTopKOf(Tables.embeddingsSpread(spark, dir), QueryPred, k = 3)
+
+  /** Scored (q_id, vec_id, cos) pairs folded to per-query top-k through
+    * the bounded Aggregator, exploded back with 1-based ranks.
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
     import spark.implicits._
-    graft.functions.GraftFunctions.ensureRegistered(spark)
-    val e = Tables.embeddingsSpread(spark, dir)
-    val q = broadcast(e.filter(expr(QueryPred))
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
-    e.filter(not(expr(QueryPred)))
-      .crossJoin(q)
-      .select(col("q_id"), col("vec_id"),
-        round(expr("cosine_sim(embedding, q_emb)"), 6).as("cos"))
+    scored
       .as[(Long, Long, Double)]
       .groupByKey(_._1)
       .mapValues(t => (t._2, t._3))
-      .agg(new graft.functions.TopKAggregator(3).toColumn.name("topk"))
+      .agg(new graft.functions.TopKAggregator(k).toColumn.name("topk"))
       .flatMap { case (qid, items) =>
         items.zipWithIndex.map { case ((vid, cos), i) => (qid, i + 1, vid, cos) }
       }
@@ -58,11 +58,26 @@ object Sim2 {
       .orderBy("q_id", "rank")
   }
 
+  /** Batch brute force over any embeddings frame: rows matching
+    * `queryPred` form the (broadcast) query set, the rest the corpus.
+    */
+  def batchTopKOf(emb: DataFrame, queryPred: String, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
+    val q = broadcast(emb.filter(expr(queryPred))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
+    topKPerQuery(
+      emb.filter(not(expr(queryPred)))
+        .crossJoin(q)
+        .select(col("q_id"), col("vec_id"),
+          round(expr("cosine_sim(embedding, q_emb)"), 6).as("cos")),
+      k)
+  }
+
   /** Deterministic label-mean IVF codebook (DECIMAL(30,15) accumulation so
     * the means are bit-identical on both engines) — same recipe as
     * [[Sim.qSimIvf]], factored for the batch path.
     */
-  private def labelCentroids(e: DataFrame): DataFrame = e
+  private[graft] def labelCentroids(e: DataFrame): DataFrame = e
     .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
     .groupBy(col("label"), col("pos"))
     .agg((sum(col("x").cast("double")
@@ -81,11 +96,18 @@ object Sim2 {
     * corpus + nprobe·queries, and scored pairs stay local to their list's
     * partition. Per-query top-3 again via the bounded Aggregator.
     */
-  def qSimBatchIvf(spark: SparkSession, dir: String): DataFrame = {
+  def qSimBatchIvf(spark: SparkSession, dir: String): DataFrame =
+    batchIvfOf(Tables.embeddingsSpread(spark, dir), QueryPred,
+      nprobe = 2, k = 3)
+
+  /** Batch IVF over any embeddings frame (needs `label` for the
+    * deterministic codebook); rows matching `queryPred` are the queries.
+    */
+  def batchIvfOf(emb: DataFrame, queryPred: String,
+    nprobe: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import spark.implicits._
-    graft.functions.GraftFunctions.ensureRegistered(spark)
-    val e = Tables.embeddingsSpread(spark, dir)
+    graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
+    val e = emb
     val centroids = labelCentroids(e)
     val dists = e.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(centroids))
@@ -95,26 +117,18 @@ object Sim2 {
       .orderBy(col("d").asc, col("c_label").asc)
     val ranked = dists.withColumn("rn", row_number().over(wNearest))
     // corpus side: nearest list only; query side: nprobe nearest lists
-    val corpus = e.filter(not(expr(QueryPred)))
+    val corpus = e.filter(not(expr(queryPred)))
       .join(ranked.filter(col("rn") === 1)
         .select(col("vec_id"), col("c_label").as("lst")), "vec_id")
-    val queries = e.filter(expr(QueryPred))
+    val queries = e.filter(expr(queryPred))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      .join(ranked.filter(col("rn") <= 2)
+      .join(ranked.filter(col("rn") <= nprobe)
         .select(col("vec_id").as("q_id"), col("c_label").as("lst")), "q_id")
-    corpus.join(queries, "lst")
-      .select(col("q_id"), col("vec_id"),
-        round(expr("cosine_sim(embedding, q_emb)"), 6).as("cos"))
-      .as[(Long, Long, Double)]
-      .groupByKey(_._1)
-      .mapValues(t => (t._2, t._3))
-      .agg(new graft.functions.TopKAggregator(3).toColumn.name("topk"))
-      .flatMap { case (qid, items) =>
-        items.zipWithIndex.map { case ((vid, cos), i) => (qid, i + 1, vid, cos) }
-      }
-      .toDF("q_id", "rank", "vec_id", "cos_sim")
-      .withColumn("rank", col("rank").cast("int"))
-      .orderBy("q_id", "rank")
+    topKPerQuery(
+      corpus.join(queries, "lst")
+        .select(col("q_id"), col("vec_id"),
+          round(expr("cosine_sim(embedding, q_emb)"), 6).as("cos")),
+      k)
   }
 
   /** Int8 scalar quantization fidelity: per vector, min/max-scaled codes in

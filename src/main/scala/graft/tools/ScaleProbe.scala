@@ -119,6 +119,24 @@ object ScaleProbe {
       e.unpersist()
     }
 
+    // Batch ANN growth: fixed query set (the base corpus's %100 slice),
+    // corpus replicated k×. Both paths must grow LINEARLY in k — brute
+    // scans everything for the broadcast query set; IVF scores only the
+    // probed lists, so its slope is ~nprobe/n_lists of brute's. (With a
+    // real 100 TB corpus the codebook also grows ~√n, shrinking the
+    // probed fraction further — here the label codebook is fixed.)
+    val nBaseEmb = graft.Tables.embeddings(spark, sfDir).count()
+    Seq(1, 4, 10).foreach { k =>
+      val e = scaledEmb(k).cache()
+      e.count()
+      val qPred = s"vec_id % 100 = 0 AND vec_id < $nBaseEmb"
+      time(s"batch brute ${k}x")(
+        graft.ops.Sim2.batchTopKOf(e, qPred, 3).count())
+      time(s"batch ivf ${k}x")(
+        graft.ops.Sim2.batchIvfOf(e, qPred, 2, 3).count())
+      e.unpersist()
+    }
+
     // Embedding near-dup candidate growth: replicate the corpus k× with a
     // deterministic per-replica perturbation (so copies are *near*, not
     // exact, neighbors — the realistic worst case) and count LSH candidate
