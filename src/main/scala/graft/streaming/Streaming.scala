@@ -258,6 +258,81 @@ object Streaming {
       .orderBy("v_id", "p_id")
   }
 
+  /** Stream-stream LEFT OUTER join: every view, with its matching
+    * purchases in the trailing hour, or one null-padded row if none.
+    *
+    * Outer rows only emit once the watermark PROVES no future match can
+    * arrive, and an eviction always lands in the batch AFTER the
+    * watermark advance — so a drained landing zone never flushes its
+    * tail (AvailableNow runs no trailing no-data batch). The runner
+    * therefore emulates what a live feed does naturally: after the real
+    * data is processed it appends two successively later SENTINEL
+    * arrivals, each followed by `processAllAvailable()` — the first
+    * advances the watermark past every real view, the second gives the
+    * eviction a batch to emit in. Sentinels pass through both sides'
+    * watermark nodes BEFORE the type filters, so they feed the watermark
+    * but never reach the join. The streaming answer then reconciles
+    * exactly with the batch LEFT JOIN; state stays bounded by the
+    * watermark horizon throughout.
+    */
+  def qStreamLeftJoin(spark: SparkSession, dir: String): DataFrame = {
+    val stage = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_stream_lj_" + dir.replaceAll("[^a-zA-Z0-9]", "_"))
+      .getAbsolutePath
+    val ev = graft.Tables.events(spark, dir)
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    def sentinel(daysLater: Int) = spark.range(1).select(
+      lit(-1L - daysLater).as("event_id"),
+      lit(new java.sql.Timestamp(maxTs.getTime + daysLater * 24L * 3600 * 1000))
+        .as("ts"),
+      lit(-1L).as("user_id"),
+      lit("sentinel").as("event_type"),
+      lit(0.0).as("value"),
+      lit(null).cast("string").as("props"))
+    // one file → the real data is a single batch (no intra-stream
+    // lateness from arbitrary file ordering; a real feed arrives in
+    // near-time-order, which is what this models)
+    if (stagedDirs.add(s"$dir->$stage"))
+      ev.coalesce(1).write.mode("overwrite").parquet(stage)
+    // Sentinels must feed both sides' watermark nodes. Writing the type
+    // filter after withWatermark is NOT enough: Catalyst pushes a
+    // deterministic filter below EventTimeWatermark into the scan, so a
+    // 'sentinel'-only type would be dropped before the watermark sees it
+    // (measured: the purchase side's watermark pinned at purchase-max−2h
+    // and the tail never flushed). Keeping 'sentinel' IN the filter makes
+    // the pushdown harmless; the join emits sentinel rows with negative
+    // ids, dropped from the final projection.
+    def side(tpe: String, prefix: String) =
+      spark.readStream.schema(eventSchema).parquet(stage)
+        .select(col("user_id").as(s"${prefix}_user"),
+          expr("timestamp_seconds(unix_timestamp(ts))").as(s"${prefix}_ts"),
+          col("event_id").as(s"${prefix}_id"),
+          col("event_type").as(s"${prefix}_tpe"))
+        .withWatermark(s"${prefix}_ts", "2 hours")
+        .filter(col(s"${prefix}_tpe").isin(tpe, "sentinel"))
+        .drop(s"${prefix}_tpe")
+    val joined = side("view", "v").join(side("purchase", "p"),
+      expr("v_user = p_user AND p_ts BETWEEN v_ts - INTERVAL 1 HOUR AND v_ts"),
+      "left_outer")
+    val name = s"graft_stream_lj_${runSeq.incrementAndGet()}"
+    withStatePartitions(spark) {
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.ProcessingTime(0L))
+        .start()
+      q.processAllAvailable()                   // real data
+      sentinel(1).write.mode("append").parquet(stage)
+      q.processAllAvailable()                   // watermark passes the tail
+      sentinel(2).write.mode("append").parquet(stage)
+      q.processAllAvailable()                   // eviction batch emits
+      q.stop()
+    }
+    spark.table(name)
+      .filter(col("v_id") >= 0)
+      .select(col("v_id"), col("p_id"), col("v_user").as("user_id"))
+      .orderBy("v_id", "p_id")
+  }
+
   /** Custom stateful streaming in the driver gate: [[sessionize]]
     * (mapGroupsWithState, 30-minute gap rule) run to completion with
     * Trigger.AvailableNow. The staged input is a single file, so the
@@ -387,6 +462,16 @@ object Streaming {
         |  AND CAST(floor(epoch(p.ts)) AS BIGINT)
         |    BETWEEN CAST(floor(epoch(v.ts)) AS BIGINT) - 3600
         |        AND CAST(floor(epoch(v.ts)) AS BIGINT)
+        |ORDER BY v_id, p_id""".stripMargin,
+    "q_stream_left_join" ->
+      """SELECT v.event_id AS v_id, p.event_id AS p_id, v.user_id
+        |FROM events v LEFT JOIN events p
+        |  ON v.user_id = p.user_id
+        |  AND p.event_type = 'purchase'
+        |  AND CAST(floor(epoch(p.ts)) AS BIGINT)
+        |    BETWEEN CAST(floor(epoch(v.ts)) AS BIGINT) - 3600
+        |        AND CAST(floor(epoch(v.ts)) AS BIGINT)
+        |WHERE v.event_type = 'view'
         |ORDER BY v_id, p_id""".stripMargin,
     "q_stream_sliding" ->
       """SELECT strftime(to_timestamp(win_start), '%Y-%m-%d %H:%M:%S') AS win_start,

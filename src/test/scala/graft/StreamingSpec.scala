@@ -139,6 +139,34 @@ class StreamingSpec extends SparkTestBase {
       "resume must process exactly the newly arrived files")
   }
 
+  test("stream-stream left outer join == batch left join, repeatable") {
+    def batchAnswer = {
+      val ev = graft.Tables.events(spark, sfDir)
+        .withColumn("sec", unix_timestamp(col("ts")))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("v_id"), col("user_id"),
+          col("sec").as("v_sec"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          col("sec").as("p_sec"))
+      v.join(p, col("user_id") === col("p_user") &&
+          col("p_sec").between(col("v_sec") - 3600, col("v_sec")),
+          "left_outer")
+        .select(col("v_id"), col("p_id"), col("user_id"))
+    }
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1), r.getLong(2))).toSet
+    val want = asSet(batchAnswer)
+    assert(want.exists(_._2 == -1L), "fixture must contain unmatched views")
+    // twice: the second run reuses a landing zone that already contains
+    // the first run's sentinel files — arrival order must stay safe
+    val first = asSet(Streaming.qStreamLeftJoin(spark, sfDir))
+    assert(first == want)
+    val second = asSet(Streaming.qStreamLeftJoin(spark, sfDir))
+    assert(second == want)
+  }
+
   test("session state folds incrementally across micro-batches") {
     import org.apache.spark.api.java.Optional
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
