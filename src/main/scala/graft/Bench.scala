@@ -61,6 +61,7 @@ object Bench {
       "q_partition_pruning", "q_sample_hash", "q_approx_quantiles",
       "q_unpivot",
       "q_event_asof", "q_event_sessions", "q_event_tumbling",
+      "q_event_funnel",
       "q_token_count", "q_lang_id", "q_quality", "q_text_repetition",
       "q_text_chunk", "q_fingerprint_rolling", "q_ngram_top",
       "q_contamination", "q_tfidf_top", "q_pmi_bigrams",

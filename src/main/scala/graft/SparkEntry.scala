@@ -150,6 +150,8 @@ object SparkEntry {
     "q_event_tumbling" -> (Events.qEventTumbling _),
     "q_event_sessions" -> (Events.qEventSessions _),
     "q_event_asof" -> (Events.qEventAsof _),
+    "q_event_funnel" -> (graft.ops.Events2.qEventFunnel _),
+    "q_event_retention" -> (graft.ops.Events2.qEventRetention _),
     "q_event_asof_plan" -> (Events.qEventAsofPlan _),
     "q_map_funcs" -> (Events.qMapFuncs _),
     // multimodal plumbing
@@ -328,7 +330,7 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   ) ++ Text.oracles ++ graft.ops.Text2.oracles ++ Dedup.oracles ++ Pipeline.oracles ++
     Profile.oracles ++ Sim.oracles ++ graft.ops.Sim2.oracles ++
-    Events.oracles ++
+    Events.oracles ++ graft.ops.Events2.oracles ++
     Multimodal.oracles ++ Relational2.oracles ++ Relational3.oracles ++
     graft.ops.Relational4.oracles ++ graft.ops.Relational5.oracles ++
     graft.ops.Relational6.oracles ++ graft.ops.Relational7.oracles ++

@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Event-sequence analytics: funnel conversion and cohort retention —
+  * the product-analytics queries every event warehouse answers, shaped
+  * so every aggregate and join partitions on `user_id` (one logical key
+  * → co-partitioned stages, exchange reuse; at 100 TB the events table
+  * is stored bucketed by user_id and none of these shuffle twice).
+  */
+object Events2 {
+
+  /** Ordered 3-stage funnel: first signup, then first view AT OR AFTER
+    * it, then first purchase at or after that view — per user, with
+    * corpus-level stage counts and conversion rates. Second-granularity
+    * event times (the streaming lane's convention) keep the comparisons
+    * engine-exact; rates are one double division, rounded to 6.
+    */
+  def qEventFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("sec"))
+    val s = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("sec")).as("s_sec"))
+    val v = ev.filter(col("event_type") === "view")
+      .join(s, "user_id").filter(col("sec") >= col("s_sec"))
+      .groupBy("user_id").agg(min(col("sec")).as("v_sec"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(v, "user_id").filter(col("sec") >= col("v_sec"))
+      .groupBy("user_id").agg(min(col("sec")).as("p_sec"))
+    s.agg(count(lit(1)).as("n_signup"))
+      .crossJoin(v.agg(count(lit(1)).as("n_viewed")))
+      .crossJoin(p.agg(count(lit(1)).as("n_converted")))
+      .select(col("n_signup"), col("n_viewed"), col("n_converted"),
+        round(col("n_viewed").cast("double") /
+          col("n_signup").cast("double"), 6).as("view_rate"),
+        round(col("n_converted").cast("double") /
+          col("n_signup").cast("double"), 6).as("conversion_rate"))
+  }
+
+  /** Day-cohort retention: users grouped by their first active day,
+    * with distinct-user counts still active 1 and 7 days later. The
+    * (user, day) activity grid is deduplicated FIRST — the aggregate
+    * then runs over O(users·active-days), not O(events) — and the
+    * cohort join is on user_id, co-partitioned with the grid.
+    */
+  def qEventRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val first = ud.groupBy("user_id").agg(min(col("day")).as("d0"))
+    ud.join(first, "user_id")
+      .groupBy(col("d0"))
+      .agg(count_distinct(col("user_id")).as("n_users"),
+        count_distinct(when(datediff(col("day"), col("d0")) === 1,
+          col("user_id"))).as("retained_d1"),
+        count_distinct(when(datediff(col("day"), col("d0")) === 7,
+          col("user_id"))).as("retained_d7"))
+      .select(date_format(col("d0"), "yyyy-MM-dd").as("cohort_day"),
+        col("n_users"), col("retained_d1"), col("retained_d7"))
+      .orderBy("cohort_day")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_event_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events),
+        |s AS (SELECT user_id, MIN(sec) AS s_sec FROM ev
+        |      WHERE event_type = 'signup' GROUP BY user_id),
+        |v AS (SELECT e.user_id, MIN(e.sec) AS v_sec
+        |      FROM ev e JOIN s ON e.user_id = s.user_id
+        |      WHERE e.event_type = 'view' AND e.sec >= s.s_sec
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(e.sec) AS p_sec
+        |      FROM ev e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'purchase' AND e.sec >= v.v_sec
+        |      GROUP BY e.user_id)
+        |SELECT
+        |  (SELECT COUNT(*) FROM s) AS n_signup,
+        |  (SELECT COUNT(*) FROM v) AS n_viewed,
+        |  (SELECT COUNT(*) FROM p) AS n_converted,
+        |  round(CAST((SELECT COUNT(*) FROM v) AS DOUBLE)
+        |    / CAST((SELECT COUNT(*) FROM s) AS DOUBLE), 6) AS view_rate,
+        |  round(CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+        |    / CAST((SELECT COUNT(*) FROM s) AS DOUBLE), 6) AS conversion_rate""".stripMargin,
+    "q_event_retention" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |first AS (
+        |  SELECT user_id, MIN(day) AS d0 FROM ud GROUP BY user_id)
+        |SELECT strftime(f.d0, '%Y-%m-%d') AS cohort_day,
+        |  COUNT(DISTINCT ud.user_id) AS n_users,
+        |  COUNT(DISTINCT CASE WHEN ud.day - f.d0 = 1
+        |    THEN ud.user_id END) AS retained_d1,
+        |  COUNT(DISTINCT CASE WHEN ud.day - f.d0 = 7
+        |    THEN ud.user_id END) AS retained_d7
+        |FROM ud JOIN first f ON ud.user_id = f.user_id
+        |GROUP BY f.d0 ORDER BY cohort_day""".stripMargin,
+  )
+}
