@@ -281,7 +281,10 @@ object Streaming {
       .getAbsolutePath
     val ev = graft.Tables.events(spark, dir)
     val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
-    def sentinel(daysLater: Int) = spark.range(1).select(
+    // one slice → one file per sentinel append (range() would otherwise
+    // write defaultParallelism-many mostly-empty files, each a discovery
+    // + processing round for BOTH sources)
+    def sentinel(daysLater: Int) = spark.range(0, 1, 1, 1).select(
       lit(-1L - daysLater).as("event_id"),
       lit(new java.sql.Timestamp(maxTs.getTime + daysLater * 24L * 3600 * 1000))
         .as("ts"),
@@ -291,9 +294,15 @@ object Streaming {
       lit(null).cast("string").as("props"))
     // one file → the real data is a single batch (no intra-stream
     // lateness from arbitrary file ordering; a real feed arrives in
-    // near-time-order, which is what this models)
-    if (stagedDirs.add(s"$dir->$stage"))
+    // near-time-order, which is what this models). The FIRST sentinel
+    // rides in the initial batch: the watermark is 0 while it executes
+    // (nothing late), and advances past every real event right after —
+    // one append round then suffices to flush, halving the state-commit
+    // batches vs a three-phase run.
+    if (stagedDirs.add(s"$dir->$stage")) {
       ev.coalesce(1).write.mode("overwrite").parquet(stage)
+      sentinel(1).write.mode("append").parquet(stage)
+    }
     // Sentinels must feed both sides' watermark nodes. Writing the type
     // filter after withWatermark is NOT enough: Catalyst pushes a
     // deterministic filter below EventTimeWatermark into the scan, so a
@@ -320,9 +329,7 @@ object Streaming {
         .outputMode(OutputMode.Append())
         .trigger(Trigger.ProcessingTime(0L))
         .start()
-      q.processAllAvailable()                   // real data
-      sentinel(1).write.mode("append").parquet(stage)
-      q.processAllAvailable()                   // watermark passes the tail
+      q.processAllAvailable()                   // real data + sentinel 1
       sentinel(2).write.mode("append").parquet(stage)
       q.processAllAvailable()                   // eviction batch emits
       q.stop()
