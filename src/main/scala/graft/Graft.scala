@@ -179,6 +179,16 @@ object Graft {
       outCol: String): DataFrame =
       plans.AsOfJoin(left, right, key, leftTime, leftTie, rightKey,
         rightTime, rightTie, payload, outCol)
+
+    /** Ordered 3-stage funnel: per-user stage timestamps must be
+      * non-decreasing; stage counts + conversion rates.
+      */
+    def funnel(events: DataFrame, stages: Seq[String]): DataFrame =
+      ops.Events2.funnelOf(events, stages)
+
+    /** Day-cohort retention (+1/+7 days) over (user_id, ts). */
+    def retention(events: DataFrame): DataFrame =
+      ops.Events2.retentionOf(events)
   }
 
   /** Training-pipeline composites: packing, splits, incremental dedup,

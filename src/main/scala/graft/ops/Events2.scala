@@ -19,16 +19,21 @@ object Events2 {
     * event times (the streaming lane's convention) keep the comparisons
     * engine-exact; rates are one double division, rounded to 6.
     */
-  def qEventFunnel(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
+  def qEventFunnel(spark: SparkSession, dir: String): DataFrame =
+    funnelOf(Tables.events(spark, dir), Seq("signup", "view", "purchase"))
+
+  /** 3-stage funnel over any (user_id, event_type, ts) frame. */
+  def funnelOf(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.length == 3, "funnelOf is the 3-stage form")
+    val ev = events
       .select(col("user_id"), col("event_type"),
         unix_timestamp(col("ts")).as("sec"))
-    val s = ev.filter(col("event_type") === "signup")
+    val s = ev.filter(col("event_type") === stages(0))
       .groupBy("user_id").agg(min(col("sec")).as("s_sec"))
-    val v = ev.filter(col("event_type") === "view")
+    val v = ev.filter(col("event_type") === stages(1))
       .join(s, "user_id").filter(col("sec") >= col("s_sec"))
       .groupBy("user_id").agg(min(col("sec")).as("v_sec"))
-    val p = ev.filter(col("event_type") === "purchase")
+    val p = ev.filter(col("event_type") === stages(2))
       .join(v, "user_id").filter(col("sec") >= col("v_sec"))
       .groupBy("user_id").agg(min(col("sec")).as("p_sec"))
     s.agg(count(lit(1)).as("n_signup"))
@@ -47,8 +52,12 @@ object Events2 {
     * then runs over O(users·active-days), not O(events) — and the
     * cohort join is on user_id, co-partitioned with the grid.
     */
-  def qEventRetention(spark: SparkSession, dir: String): DataFrame = {
-    val ud = Tables.events(spark, dir)
+  def qEventRetention(spark: SparkSession, dir: String): DataFrame =
+    retentionOf(Tables.events(spark, dir))
+
+  /** Day-cohort retention over any (user_id, ts) frame. */
+  def retentionOf(events: DataFrame): DataFrame = {
+    val ud = events
       .select(col("user_id"), to_date(col("ts")).as("day"))
       .distinct()
     val first = ud.groupBy("user_id").agg(min(col("day")).as("d0"))

@@ -113,4 +113,29 @@ class GraftApiSpec extends SparkTestBase {
         (if (x.isNullAt(3)) -1L else x.getLong(3))).toMap
     assert(got == Map(1L -> -1L, 2L -> 7L))
   }
+
+  test("Graft.events funnel + retention on an ad-hoc feed") {
+    import spark.implicits._
+    def ts(day: Int, h: Int) = java.sql.Timestamp.valueOf(
+      f"2024-02-$day%02d $h%02d:00:00")
+    // u1 completes a→b→c in order; u2 has b BEFORE a (must not count as
+    // stage 2); u3 only reaches a
+    val ev = Seq(
+      (1L, "a", ts(1, 1)), (1L, "b", ts(1, 2)), (1L, "c", ts(1, 3)),
+      (2L, "b", ts(1, 1)), (2L, "a", ts(1, 2)),
+      (3L, "a", ts(2, 5)))
+      .toDF("user_id", "event_type", "ts")
+    val f = Graft.events.funnel(ev, Seq("a", "b", "c")).collect().head
+    assert((f.getLong(0), f.getLong(1), f.getLong(2)) == ((3L, 1L, 1L)))
+    // cohorts: u1,u2 first active Feb 1 (u1 also active Feb 2 and 8 →
+    // retained at +1 and +7); u3's cohort is Feb 2
+    val ev2 = ev.union(Seq(
+      (1L, "a", ts(2, 1)), (1L, "a", ts(8, 1)))
+      .toDF("user_id", "event_type", "ts"))
+    val r = Graft.events.retention(ev2).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2), x.getLong(3)))
+      .toMap
+    assert(r == Map("2024-02-01" -> ((2L, 1L, 1L)),
+      "2024-02-02" -> ((1L, 0L, 0L))))
+  }
 }
