@@ -77,7 +77,7 @@ object Bench {
       "q_sim_ivf_kmeans", "q_sim_label_coherence",
       "q_sim_batch_topk", "q_sim_batch_ivf", "q_sim_quantize",
       "q_mm_meta", "q_mm_features", "q_mm_resize", "q_mm_frames",
-      "q_stream_tumbling", "q_stream_sliding", "q_stream_sessions",
+      "q_stream_tumbling", "q_stream_sessions", "q_stream_session_window",
       "q_stream_join", "q_stream_left_join", "q_stream_dedup",
       "q_stream_upsert")
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)

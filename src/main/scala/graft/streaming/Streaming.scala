@@ -275,34 +275,65 @@ object Streaming {
     * exactly with the batch LEFT JOIN; state stays bounded by the
     * watermark horizon throughout.
     */
-  def qStreamLeftJoin(spark: SparkSession, dir: String): DataFrame = {
+  /** One-slice far-future sentinel row (range() would otherwise write
+    * defaultParallelism-many mostly-empty files, each a discovery +
+    * processing round per source reading the zone).
+    */
+  private def sentinelRow(spark: SparkSession, maxTs: java.sql.Timestamp,
+    daysLater: Int): DataFrame = spark.range(0, 1, 1, 1).select(
+    lit(-1L - daysLater).as("event_id"),
+    lit(new java.sql.Timestamp(maxTs.getTime + daysLater * 24L * 3600 * 1000))
+      .as("ts"),
+    lit(-1L).as("user_id"),
+    lit("sentinel").as("event_type"),
+    lit(0.0).as("value"),
+    lit(null).cast("string").as("props"))
+
+  /** Stage `dir`'s events as a landing zone whose LAST row is a
+    * far-future sentinel: one file for the real data (a single batch —
+    * no intra-stream lateness from arbitrary file ordering; a real feed
+    * arrives in near-time-order, which is what this models), plus the
+    * first sentinel riding along. The watermark is 0 while the initial
+    * batch executes (nothing late) and advances past every real event
+    * right after — one later append then suffices to flush final state.
+    * Returns (stagePath, maxRealTs).
+    */
+  private def sentinelStage(spark: SparkSession, dir: String)
+    : (String, java.sql.Timestamp) = {
     val stage = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_stream_lj_" + dir.replaceAll("[^a-zA-Z0-9]", "_"))
+      "graft_stream_sn_" + dir.replaceAll("[^a-zA-Z0-9]", "_"))
       .getAbsolutePath
     val ev = graft.Tables.events(spark, dir)
     val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
-    // one slice → one file per sentinel append (range() would otherwise
-    // write defaultParallelism-many mostly-empty files, each a discovery
-    // + processing round for BOTH sources)
-    def sentinel(daysLater: Int) = spark.range(0, 1, 1, 1).select(
-      lit(-1L - daysLater).as("event_id"),
-      lit(new java.sql.Timestamp(maxTs.getTime + daysLater * 24L * 3600 * 1000))
-        .as("ts"),
-      lit(-1L).as("user_id"),
-      lit("sentinel").as("event_type"),
-      lit(0.0).as("value"),
-      lit(null).cast("string").as("props"))
-    // one file → the real data is a single batch (no intra-stream
-    // lateness from arbitrary file ordering; a real feed arrives in
-    // near-time-order, which is what this models). The FIRST sentinel
-    // rides in the initial batch: the watermark is 0 while it executes
-    // (nothing late), and advances past every real event right after —
-    // one append round then suffices to flush, halving the state-commit
-    // batches vs a three-phase run.
     if (stagedDirs.add(s"$dir->$stage")) {
       ev.coalesce(1).write.mode("overwrite").parquet(stage)
-      sentinel(1).write.mode("append").parquet(stage)
+      sentinelRow(spark, maxTs, 1).write.mode("append").parquet(stage)
     }
+    (stage, maxTs)
+  }
+
+  /** Run an append-mode stateful stream over a [[sentinelStage]] zone to
+    * a memory table, appending one later sentinel after the initial data
+    * so the final watermark advance has a batch to evict into (a drained
+    * zone never flushes its tail on its own — eviction always lands in
+    * the batch AFTER the watermark advance).
+    */
+  private def runWithSentinelFlush(spark: SparkSession, stage: String,
+    maxTs: java.sql.Timestamp, df: DataFrame, name: String): DataFrame =
+    withStatePartitions(spark) {
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.ProcessingTime(0L))
+        .start()
+      q.processAllAvailable()                   // real data + sentinel 1
+      sentinelRow(spark, maxTs, 2).write.mode("append").parquet(stage)
+      q.processAllAvailable()                   // eviction batch emits
+      q.stop()
+      spark.table(name)
+    }
+
+  def qStreamLeftJoin(spark: SparkSession, dir: String): DataFrame = {
+    val (stage, maxTs) = sentinelStage(spark, dir)
     // Sentinels must feed both sides' watermark nodes. Writing the type
     // filter after withWatermark is NOT enough: Catalyst pushes a
     // deterministic filter below EventTimeWatermark into the scan, so a
@@ -323,21 +354,40 @@ object Streaming {
     val joined = side("view", "v").join(side("purchase", "p"),
       expr("v_user = p_user AND p_ts BETWEEN v_ts - INTERVAL 1 HOUR AND v_ts"),
       "left_outer")
-    val name = s"graft_stream_lj_${runSeq.incrementAndGet()}"
-    withStatePartitions(spark) {
-      val q = joined.writeStream.format("memory").queryName(name)
-        .outputMode(OutputMode.Append())
-        .trigger(Trigger.ProcessingTime(0L))
-        .start()
-      q.processAllAvailable()                   // real data + sentinel 1
-      sentinel(2).write.mode("append").parquet(stage)
-      q.processAllAvailable()                   // eviction batch emits
-      q.stop()
-    }
-    spark.table(name)
+    runWithSentinelFlush(spark, stage, maxTs, joined,
+        s"graft_stream_lj_${runSeq.incrementAndGet()}")
       .filter(col("v_id") >= 0)
       .select(col("v_id"), col("p_id"), col("v_user").as("user_id"))
       .orderBy("v_id", "p_id")
+  }
+
+  /** Native streaming sessionization: the `session_window` generator
+    * under a watermark in Append mode — the declarative twin of
+    * [[qStreamSessions]]'s custom mapGroupsWithState (same 30-minute gap
+    * rule, same batch oracle as `q_session_window`). Closed sessions
+    * emit as the watermark passes their end; the sentinel machinery
+    * flushes the final open sessions, whose negative-user row is
+    * dropped from the projection. State is one (user, open-session)
+    * struct inside the horizon — evicted on emission.
+    */
+  def qStreamSessionWindow(spark: SparkSession, dir: String): DataFrame = {
+    val (stage, maxTs) = sentinelStage(spark, dir)
+    val agg = spark.readStream.schema(eventSchema).parquet(stage)
+      .select(col("user_id"),
+        expr("timestamp_seconds(unix_timestamp(ts))").as("tss"))
+      .withWatermark("tss", "2 hours")
+      .groupBy(session_window(col("tss"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    runWithSentinelFlush(spark, stage, maxTs, agg,
+        s"graft_stream_sw_${runSeq.incrementAndGet()}")
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_end"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
   }
 
   /** Custom stateful streaming in the driver gate: [[sessionize]]
@@ -449,6 +499,10 @@ object Streaming {
   }
 
   val oracles: Map[String, String] = Map(
+    // the native streaming session generator must reproduce the batch
+    // session_window answer exactly — share its oracle verbatim
+    "q_stream_session_window" ->
+      graft.ops.Relational7.oracles("q_session_window"),
     "q_stream_upsert" ->
       """WITH ranked AS (
         |  SELECT user_id, event_type, value,
