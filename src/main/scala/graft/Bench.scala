@@ -72,7 +72,7 @@ object Bench {
       "q_dedup_quality", "q_dedup_incremental",
       "q_pack_sequences", "q_split_train", "q_mix_sources",
       "q_merge_upsert", "q_bloom_join",
-      "q_profile", "q_constraints", "q_sketch_union",
+      "q_profile", "q_constraints", "q_sketch_union", "q_graph_pagerank",
       "q_sim_topk", "q_sim_lsh", "q_sim_ivf",
       "q_sim_ivf_kmeans", "q_sim_label_coherence",
       "q_sim_batch_topk", "q_sim_batch_ivf", "q_sim_quantize",

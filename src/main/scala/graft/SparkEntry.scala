@@ -99,6 +99,7 @@ object SparkEntry {
     "q_collect_list" -> (graft.ops.Relational7.qCollectList _),
     "q_partition_pruning" -> (graft.ops.Relational7.qPartitionPruning _),
     "q_topk_typed" -> (graft.ops.Typed.qTopKTyped _),
+    "q_graph_pagerank" -> (graft.ops.Graph.qGraphPagerank _),
     "q_cogroup" -> (graft.ops.Typed.qCogroup _),
     // text analysis (documents)
     "q_text_stats" -> (Text.qTextStats _),
@@ -335,7 +336,7 @@ object SparkEntry {
     Multimodal.oracles ++ Relational2.oracles ++ Relational3.oracles ++
     graft.ops.Relational4.oracles ++ graft.ops.Relational5.oracles ++
     graft.ops.Relational6.oracles ++ graft.ops.Relational7.oracles ++
-    graft.ops.Typed.oracles ++
+    graft.ops.Typed.oracles ++ graft.ops.Graph.oracles ++
     graft.sources.Sources.oracles ++
     graft.streaming.Streaming.oracles ++ Skew.oracles
 }
