@@ -73,7 +73,44 @@ object Events2 {
       .orderBy("cohort_day")
   }
 
+  /** Rolling 1-hour per-user aggregates via a calendar-INTERVAL RANGE
+    * frame on the event-time column (the SQL-only frame spec the numeric
+    * RANGE battery can't reach). The frame is a time-bounded SET of
+    * rows, so COUNT is deterministic under any peer order; the SUM goes
+    * through DECIMAL(12,2) so addition order cannot matter either.
+    * Second-granularity timestamps keep the bound arithmetic
+    * engine-exact. One shuffle on user_id; the running frame evaluates
+    * in a single sorted pass per partition.
+    */
+  def qWindowTimeRange(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("tss", expr("timestamp_seconds(unix_timestamp(ts))"))
+      .selectExpr(
+        "event_id", "user_id",
+        """COUNT(*) OVER (PARTITION BY user_id ORDER BY tss
+          |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+          |  AS n_1h""".stripMargin,
+        """CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+          |  PARTITION BY user_id ORDER BY tss
+          |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+          |  AS DOUBLE) AS sum_1h""".stripMargin)
+      .orderBy("event_id")
+
   val oracles: Map[String, String] = Map(
+    "q_window_time_range" ->
+      """WITH t AS (
+        |  SELECT event_id, user_id, value,
+        |    to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)) AS tss
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  COUNT(*) OVER (PARTITION BY user_id ORDER BY tss
+        |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |    AS n_1h,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+        |    PARTITION BY user_id ORDER BY tss
+        |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) AS sum_1h
+        |FROM t ORDER BY event_id""".stripMargin,
     "q_event_funnel" ->
       """WITH ev AS (
         |  SELECT user_id, event_type,
