@@ -131,6 +131,10 @@ object Graft {
     def batchIvf(emb: DataFrame, queryPred: String,
       nprobe: Int = 2, k: Int = 3): DataFrame =
       ops.Sim2.batchIvfOf(emb, queryPred, nprobe, k)
+
+    /** Int8 scalar-quantization fidelity report per vector. */
+    def quantizeFidelity(emb: DataFrame): DataFrame =
+      ops.Sim2.quantizeOf(emb)
   }
 
   /** Text-analysis operators over any (doc_id LONG, text STRING, ...)

@@ -139,8 +139,12 @@ object Sim2 {
     * narrow pass — the decision input for storing the ANN index at 1/4 the
     * bytes.
     */
-  def qSimQuantize(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddingsSpread(spark, dir)
+  def qSimQuantize(spark: SparkSession, dir: String): DataFrame =
+    quantizeOf(Tables.embeddingsSpread(spark, dir))
+
+  /** Same fidelity report over any (vec_id, embedding) frame. */
+  def quantizeOf(emb: DataFrame): DataFrame = {
+    val e = emb
       .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
       .withColumn("mn", expr("array_min(v)"))
       .withColumn("mx", expr("array_max(v)"))

@@ -100,6 +100,21 @@ object Sources {
     n
   }
 
+  /** Raw media ingestion: whole files as rows (path, modificationTime,
+    * length, content BINARY) — the step BEFORE the multimodal lane's
+    * parquet-resident binary columns exist. `pathGlobFilter` prunes by
+    * extension at listing time (no bytes read for filtered files) and
+    * binary contents ride Spark's columnar machinery unchanged, so
+    * `binaryFile → select(metadata, content) → write.parquet` IS the
+    * multimodal landing pipeline. At scale, `maxPartitionBytes` grouping
+    * applies per file (files are never split), so many small media files
+    * batch into sane tasks.
+    */
+  def readBinaryFiles(spark: SparkSession, dir: String,
+    glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob).load(dir)
+
   def writeOrc(df: DataFrame, out: String): Unit =
     df.write.mode(SaveMode.Overwrite).orc(out)
 

@@ -154,4 +154,30 @@ class SourcesSpec extends SparkTestBase {
     assert(plan.contains("PartitionFilters: [isnotnull(lang"),
       s"no partition pruning in plan:\n${plan.take(800)}")
   }
+
+  test("binaryFile ingestion: raw media files -> multimodal binary column") {
+    val dir = Files.createTempDirectory("graft-media").toFile
+    def put(name: String, bytes: Array[Byte]): Unit = {
+      val f = new java.io.FileOutputStream(new java.io.File(dir, name))
+      try f.write(bytes) finally f.close()
+    }
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 1, 2, 3)
+    put("a.png", png)
+    put("b.png", Array[Byte](0x89.toByte, 'P', 'N', 'G', 9))
+    put("notes.txt", "not media".getBytes)
+    // glob prunes at listing time: the txt never becomes a row
+    val df = Sources.readBinaryFiles(spark, dir.toString, "*.png")
+      .select(col("path"), col("length"), col("content"))
+    val rows = df.collect().map(r =>
+      (r.getString(0).split('/').last, r.getLong(1),
+        r.getAs[Array[Byte]](2))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq("a.png", "b.png"))
+    assert(rows(0)._2 == png.length && rows(0)._3.toSeq == png.toSeq)
+    // composes with the multimodal lane: content is a plain BINARY column
+    val meta = df.select(col("content"),
+        length(col("content")).as("n_bytes"),
+        substring(hex(col("content")), 1, 8).as("magic"))
+      .collect().map(r => (r.getInt(1), r.getString(2))).sortBy(-_._1)
+    assert(meta.head._1 == 7 && meta.head._2 == "89504E47")
+  }
 }
