@@ -94,4 +94,23 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("PartitionFilters") && p.contains("lang"),
       s"no partition filter on the partitioned read:\n${p.take(1500)}")
   }
+
+  test("batch ANN: queries broadcast, top-k partially aggregated map-side") {
+    val p = plan(graft.ops.Sim2.qSimBatchTopK(spark, sfDir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query set not broadcast:\n${p.take(1500)}")
+    // the bounded Aggregator must run partial-then-final: two
+    // ObjectHashAggregate nodes around the exchange, so the shuffle
+    // carries O(queries·k) state rows, not every scored pair
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      s"no partial object aggregation:\n${p.take(1500)}")
+  }
+
+  test("pagerank iteration: ranks broadcast, edge list never shuffles") {
+    val p = plan(graft.ops.Graph.qGraphPagerank(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"rank frame not broadcast into the edge join:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"edge list shuffled for a join (expected broadcast-only):\n${p.take(1500)}")
+  }
 }
