@@ -80,6 +80,9 @@ object SparkEntry {
     "q_stream_session_window" -> (graft.streaming.Streaming.qStreamSessionWindow _),
     "q_stream_dedup" -> (graft.streaming.Streaming.qStreamDedup _),
     "q_stream_upsert" -> (graft.streaming.Streaming.qStreamUpsert _),
+    "q_stream_static_join" -> (graft.streaming.Streaming.qStreamStaticJoin _),
+    "q_event_zscore" -> (graft.ops.Robust.qEventZscore _),
+    "q_winsorize" -> (graft.ops.Robust.qWinsorize _),
     "q_join_hinted" -> (graft.ops.Relational7.qJoinHinted _),
     "q_stats_agg" -> (graft.ops.Relational6.qStatsAgg _),
     "q_string_funcs2" -> (graft.ops.Relational6.qStringFuncs2 _),
@@ -339,5 +342,6 @@ object SparkEntry {
     graft.ops.Relational6.oracles ++ graft.ops.Relational7.oracles ++
     graft.ops.Typed.oracles ++ graft.ops.Graph.oracles ++
     graft.sources.Sources.oracles ++
-    graft.streaming.Streaming.oracles ++ Skew.oracles
+    graft.streaming.Streaming.oracles ++ Skew.oracles ++
+    graft.ops.Robust.oracles
 }

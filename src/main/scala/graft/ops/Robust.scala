@@ -1,0 +1,161 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Robust-statistics operators: z-score outlier detection and
+  * percentile winsorization — the clamp/flag stage every numeric
+  * feature pipeline runs before training, shaped for exactness and
+  * scale.
+  *
+  * Exactness recipe (why the oracle hash-matches): the value columns
+  * are 2-decimal money-like doubles, so each value is scaled to an
+  * integer (`w = value·100`) and every moment, threshold, and
+  * comparison is computed in integer/DECIMAL arithmetic — the outlier
+  * predicate `(w·n − S)² > 4·(Q·n − S²)` is `|v − μ| > 2σ` with both
+  * sides multiplied out to integers, so no engine ever takes a square
+  * root or divides. DuckDB mirrors with HUGEINT, Spark with
+  * DECIMAL(38,0); both are exact at these magnitudes, so the booleans
+  * agree bit-for-bit.
+  */
+object Robust {
+
+  /** Per-event-type z-score outlier counts over the events stream:
+    * flags rows with `|value − μ| > 2σ` (population σ).
+    *
+    * Shape at scale: one partial+final aggregate for the moments
+    * (6 rows out), broadcast back, one narrow flag-and-count pass —
+    * two scans of the fact, zero row-scale shuffles. The moments are
+    * sums, so at 100 TB the first pass is map-side-combined per file
+    * split and the second is embarrassingly parallel.
+    */
+  def qEventZscore(spark: SparkSession, dir: String): DataFrame =
+    zscoreOutliers(Tables.events(spark, dir), col("event_type"),
+      col("value"))
+
+  /** [[qEventZscore]] over any frame: group column + 2-decimal value. */
+  def zscoreOutliers(df: DataFrame, group: Column, value: Column): DataFrame = {
+    val w = df.select(group.as("g"),
+      (value.cast(DecimalType(12, 2)) * 100).cast("long").as("w"))
+    val d38 = DecimalType(38, 0)
+    val stats = w.groupBy("g").agg(
+      count(lit(1)).as("n"),
+      sum(col("w")).as("s"),
+      sum(col("w").cast(d38) * col("w")).as("q"))
+    val lhs = col("w").cast(d38) * col("n") - col("s")
+    val rhs = (col("q").cast(d38) * col("n") - col("s").cast(d38) * col("s")) * 4
+    w.join(broadcast(stats), "g")
+      .select(col("g"), col("n"), col("s"),
+        (lhs * lhs > rhs).cast("int").as("is_out"))
+      .groupBy(col("g").as("event_type"))
+      .agg(first(col("n")).as("n_events"),
+        sum(col("is_out")).as("n_outliers"),
+        round(first(col("s")).cast("double") /
+          first(col("n")).cast("double") / 100.0, 6).as("avg_value"))
+      .orderBy("event_type")
+  }
+
+  /** Winsorized pricing per return flag: l_extendedprice clamped to its
+    * per-group [p1, p99], with clamp counts — plus the group's exact
+    * clamped DECIMAL sum.
+    *
+    * The percentile is the rank-`ceil(p·n)` VALUE, found without
+    * sorting the fact table: counts per distinct (group, price) — the
+    * distinct-value table is orders of magnitude smaller than the
+    * fact — then a cumulative window over that compact table, then the
+    * 3-row threshold frame broadcast back for a narrow clamp pass.
+    * Ties cost nothing: the k-th value ordered by value is well-defined
+    * whatever order equal rows shuffle in. At 100 TB the only sort is
+    * over distinct prices per group (bounded by price-domain
+    * cardinality), never over rows — the scale-killer a naive
+    * `row_number() OVER (ORDER BY price)` global rank would be.
+    */
+  def qWinsorize(spark: SparkSession, dir: String): DataFrame =
+    winsorize(Tables.lineitem(spark, dir), col("l_returnflag"),
+      col("l_extendedprice"), 1, 99)
+
+  /** [[qWinsorize]] over any frame: clamp `value` to the group's
+    * [pLo, pHi] percentiles (whole-percent ranks, exact).
+    */
+  def winsorize(df: DataFrame, group: Column, value: Column,
+    pLo: Int, pHi: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val prices = df.select(group.as("g"),
+      value.cast(DecimalType(12, 2)).as("p"))
+    val cnts = prices.groupBy("g", "p").agg(count(lit(1)).as("c"))
+    val byG = Window.partitionBy("g")
+    val cum = Window.partitionBy("g").orderBy("p")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // ceil(p·n/100) as pure integer arithmetic — identical in DuckDB.
+    val ranked = cnts
+      .withColumn("cum", sum(col("c")).over(cum))
+      .withColumn("n", sum(col("c")).over(byG))
+      .withColumn("k_lo", expr(s"(n * $pLo + 99) div 100"))
+      .withColumn("k_hi", expr(s"(n * $pHi + 99) div 100"))
+    val thresholds = ranked.groupBy("g").agg(
+      min(when(col("cum") >= col("k_lo"), col("p"))).as("lo"),
+      min(when(col("cum") >= col("k_hi"), col("p"))).as("hi"))
+    prices.join(broadcast(thresholds), "g")
+      .select(col("g"),
+        least(greatest(col("p"), col("lo")), col("hi")).as("cl"),
+        (col("p") < col("lo")).cast("long").as("is_lo"),
+        (col("p") > col("hi")).cast("long").as("is_hi"))
+      .groupBy(col("g").as("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("cl")).cast("double").as("win_sum"),
+        sum(col("is_lo")).as("n_clamped_lo"),
+        sum(col("is_hi")).as("n_clamped_hi"))
+      .orderBy("l_returnflag")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_event_zscore" ->
+      """WITH w AS (
+        |  SELECT event_type AS g,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS w
+        |  FROM events),
+        |st AS (
+        |  SELECT g, COUNT(*) AS n, SUM(w) AS s,
+        |    SUM(CAST(w AS HUGEINT) * w) AS q
+        |  FROM w GROUP BY g)
+        |SELECT g AS event_type, n AS n_events,
+        |  CAST(SUM(CASE WHEN (CAST(w.w AS HUGEINT) * n - s)
+        |             * (CAST(w.w AS HUGEINT) * n - s)
+        |           > 4 * (CAST(q AS HUGEINT) * n - CAST(s AS HUGEINT) * s)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6) AS avg_value
+        |FROM w JOIN st USING (g)
+        |GROUP BY g, n, s ORDER BY event_type""".stripMargin,
+    "q_winsorize" ->
+      """WITH pr AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(l_extendedprice AS DECIMAL(12,2)) AS p
+        |  FROM lineitem),
+        |cnts AS (SELECT g, p, COUNT(*) AS c FROM pr GROUP BY g, p),
+        |ranked AS (
+        |  SELECT g, p,
+        |    SUM(c) OVER (PARTITION BY g ORDER BY p
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(c) OVER (PARTITION BY g) AS n
+        |  FROM cnts),
+        |th AS (
+        |  SELECT g,
+        |    MIN(CASE WHEN cum >= (n * 1 + 99) // 100 THEN p END) AS lo,
+        |    MIN(CASE WHEN cum >= (n * 99 + 99) // 100 THEN p END) AS hi
+        |  FROM ranked GROUP BY g)
+        |SELECT g AS l_returnflag, COUNT(*) AS n_rows,
+        |  -- CASE, not LEAST/GREATEST: DuckDB promotes those to DOUBLE,
+        |  -- which would break the exact DECIMAL sum
+        |  CAST(SUM(CASE WHEN p < lo THEN lo WHEN p > hi THEN hi ELSE p END)
+        |    AS DOUBLE) AS win_sum,
+        |  CAST(SUM(CASE WHEN p < lo THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clamped_lo,
+        |  CAST(SUM(CASE WHEN p > hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clamped_hi
+        |FROM pr JOIN th USING (g)
+        |GROUP BY g ORDER BY l_returnflag""".stripMargin,
+  )
+}

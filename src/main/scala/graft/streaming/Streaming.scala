@@ -498,7 +498,42 @@ object Streaming {
       .orderBy("user_id")
   }
 
+  /** Stream-static enrichment join — the lookup-table pattern every
+    * event feed runs: the stream joins a STATIC dimension (customers)
+    * on the fly, then aggregates per segment. Stream-static inner
+    * joins are STATELESS (the static side is just re-planned per
+    * micro-batch, broadcast here because it is dimension-sized), so
+    * unlike the stream-stream lane there is no watermark-bounded
+    * buffer at all — at 100 TB/day this is a per-batch broadcast-hash
+    * probe, the cheapest join Spark has. Complete-mode aggregate so
+    * the final table is the full batch answer.
+    */
+  def qStreamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val stage = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_stream_stage_" + dir.replaceAll("[^a-zA-Z0-9]", "_"))
+      .getAbsolutePath
+    stageStreamInput(spark, dir, stage)
+    val dim = graft.Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val agg = spark.readStream.schema(eventSchema).parquet(stage)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"), "inner")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(12, 2))).cast("double")
+          .as("sum_value"))
+    runToMemory(agg, s"graft_stream_static_${runSeq.incrementAndGet()}",
+        OutputMode.Complete())
+      .select(col("c_mktsegment"), col("n_events"), col("sum_value"))
+      .orderBy("c_mktsegment")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_stream_static_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     // the native streaming session generator must reproduce the batch
     // session_window answer exactly — share its oracle verbatim
     "q_stream_session_window" ->
