@@ -151,6 +151,9 @@ object SparkEntry {
     "q_sim_batch_topk" -> (graft.ops.Sim2.qSimBatchTopK _),
     "q_sim_batch_ivf" -> (graft.ops.Sim2.qSimBatchIvf _),
     "q_sim_quantize" -> (graft.ops.Sim2.qSimQuantize _),
+    "q_random_projection" -> (graft.ops.Embed.qRandomProjection _),
+    "q_dedup_semantic" -> (graft.ops.Embed.qDedupSemantic _),
+    "q_unigram_lm" -> (graft.ops.Text2.qUnigramLm _),
     // event-time (events)
     "q_event_tumbling" -> (Events.qEventTumbling _),
     "q_event_sessions" -> (Events.qEventSessions _),
@@ -343,5 +346,5 @@ object SparkEntry {
     graft.ops.Typed.oracles ++ graft.ops.Graph.oracles ++
     graft.sources.Sources.oracles ++
     graft.streaming.Streaming.oracles ++ Skew.oracles ++
-    graft.ops.Robust.oracles
+    graft.ops.Robust.oracles ++ graft.ops.Embed.oracles
 }

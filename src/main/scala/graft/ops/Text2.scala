@@ -63,7 +63,69 @@ object Text2 {
       .limit(k)
   }
 
+  /** Corpus-trained unigram language-model scoring: every document gets
+    * its add-one-smoothed mean token log-probability — the classic
+    * cheap fluency/quality signal (boilerplate and gibberish score far
+    * from the corpus mode; the scores feed quality-threshold filtering
+    * the same way a real LM perplexity would, without needing a model).
+    *
+    * Shape at scale: one tokenize pass; the vocabulary table is
+    * O(word types) and joins the token stream on the token key — a
+    * shuffle join, since corpus-scale vocabularies outgrow broadcasts
+    * (same rationale as [[qPmiBigrams]]); per-document sums are exact
+    * DECIMAL(12,6) over PRE-ROUNDED log-probs, so summation order can
+    * never matter and the oracle hash-matches. Stop-word skew on the
+    * token join is real at 100 TB — the AQE skew-join split handles it
+    * (the key space is huge and only a handful of keys are hot).
+    */
+  def qUnigramLm(spark: SparkSession, dir: String): DataFrame =
+    unigramLmScores(Tables.documentsSpread(spark, dir))
+
+  /** Same scorer over any frame with (doc_id, text). */
+  def unigramLmScores(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), " ", -1)).as("w"))
+      .filter(col("w") =!= "")
+    val vocab = toks.groupBy("w").agg(count(lit(1)).as("c"))
+    val tot = vocab.agg(sum(col("c")).as("n_total"),
+      count(lit(1)).as("v"))
+    // log-prob per TYPE (not token): rounded to 6 before the per-doc
+    // exact-decimal sum, so both engines add identical quantities.
+    val lp = vocab.crossJoin(broadcast(tot))
+      .select(col("w"),
+        round(log((col("c") + 1).cast("double") /
+          (col("n_total") + col("v")).cast("double")), 6)
+          .cast("decimal(12,6)").as("lp"))
+    toks.join(lp, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("lp")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("avg_logp"))
+      .orderBy("doc_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_unigram_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        |    FROM documents)
+        |  WHERE w <> ''),
+        |vocab AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+        |tot AS (
+        |  SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM vocab) AS n_total,
+        |         (SELECT COUNT(*) FROM vocab) AS v),
+        |lp AS (
+        |  SELECT w,
+        |    CAST(round(ln(CAST(c + 1 AS DOUBLE) /
+        |      CAST(n_total + v AS DOUBLE)), 6) AS DECIMAL(12,6)) AS lp
+        |  FROM vocab CROSS JOIN tot)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  round(CAST(SUM(lp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |    AS avg_logp
+        |FROM toks JOIN lp USING (w)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_pmi_bigrams" ->
       """WITH t AS (
         |  SELECT doc_id, unnest(w) AS tok,
