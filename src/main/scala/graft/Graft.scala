@@ -135,6 +135,22 @@ object Graft {
     /** Int8 scalar-quantization fidelity report per vector. */
     def quantizeFidelity(emb: DataFrame): DataFrame =
       ops.Sim2.quantizeOf(emb)
+
+    /** Johnson–Lindenstrauss Rademacher projection of the embedding
+      * column to [[ops.Embed.ProjDim]] dims — a narrow codegen'd
+      * pre-pass that makes downstream LSH/clustering cheaper per
+      * vector.
+      */
+    def randomProject(emb: DataFrame): DataFrame =
+      ops.Embed.randomProject(emb)
+
+    /** SemDeDup-style cluster-scoped semantic dedup: per-vector keep
+      * flag, dropping vectors with a lower-id cluster-mate above
+      * cosine `tau` (frame needs vec_id, label, embedding).
+      */
+    def semanticDedup(emb: DataFrame,
+      tau: Double = ops.Embed.SemanticTau): DataFrame =
+      ops.Embed.semanticDedup(emb, tau)
   }
 
   /** Text-analysis operators over any (doc_id LONG, text STRING, ...)
@@ -166,6 +182,12 @@ object Graft {
     /** PMI collocations: top-k adjacent token pairs by pointwise mutual
       * information (the BPE-style merge-rule signal).
       */
+    /** Corpus-trained unigram-LM mean log-prob per document — the
+      * model-free fluency/quality score.
+      */
+    def unigramLmScores(docs: DataFrame): DataFrame =
+      ops.Text2.unigramLmScores(docs)
+
     def pmiBigrams(docs: DataFrame, minCount: Int = 3, k: Int = 15): DataFrame =
       ops.Text2.pmiBigramsOf(docs, minCount, k)
   }
@@ -241,5 +263,24 @@ object Graft {
     def compact(spark: SparkSession, inDir: String, outDir: String,
       targetFileBytes: Long = 128L << 20): Int =
       sources.Sources.compactParquet(spark, inDir, outDir, targetFileBytes)
+  }
+
+  /** Robust statistics over 2-decimal numeric columns (`ops.Robust`):
+    * the clamp/flag stage of a numeric feature pipeline, integer-exact
+    * so results are engine- and partitioning-independent.
+    */
+  object stats {
+    /** Per-group `|v − μ| > 2σ` outlier counts, computed without ever
+      * taking a square root (integer moments).
+      */
+    def zscoreOutliers(df: DataFrame, group: Column, value: Column): DataFrame =
+      ops.Robust.zscoreOutliers(df, group, value)
+
+    /** Clamp `value` to its per-group [pLo, pHi] exact percentiles
+      * (whole-percent ranks); per-group clamp counts + winsorized sum.
+      */
+    def winsorize(df: DataFrame, group: Column, value: Column,
+      pLo: Int = 1, pHi: Int = 99): DataFrame =
+      ops.Robust.winsorize(df, group, value, pLo, pHi)
   }
 }

@@ -138,4 +138,30 @@ class GraftApiSpec extends SparkTestBase {
     assert(r == Map("2024-02-01" -> ((2L, 1L, 1L)),
       "2024-02-02" -> ((1L, 0L, 0L))))
   }
+
+  test("Graft round-5 surface: stats, projection, semantic dedup, unigram LM") {
+    import spark.implicits._
+    // stats.zscoreOutliers: 9 values at 1.00, one at 100.00 -> 1 outlier
+    val vals = (Seq.fill(9)(1.00) :+ 100.00).zipWithIndex
+      .map { case (v, i) => (i.toLong, "g", v) }.toDF("id", "g", "v")
+    val z = Graft.stats.zscoreOutliers(vals, col("g"), col("v"))
+      .collect().head
+    assert(z.getLong(1) == 10L && z.getLong(2) == 1L)
+    // stats.winsorize: with 10 rows p1=p99 rank clamps only the extremes
+    val w = Graft.stats.winsorize(vals, col("g"), col("v"))
+      .collect().head
+    assert(w.getLong(1) == 10L && w.getLong(3) == 0L && w.getLong(4) == 0L)
+    // sim.randomProject keeps one row per vector with ProjDim components
+    val emb = Tables.embeddings(spark, sfDir)
+    val proj = Graft.sim.randomProject(emb)
+    assert(proj.count() == emb.count())
+    assert(proj.columns.length == 1 + ops.Embed.ProjDim)
+    // sim.semanticDedup at tau > 1 keeps everything
+    val sd = Graft.sim.semanticDedup(emb, tau = 1.1)
+    assert(sd.filter(!col("kept")).count() == 0)
+    // text.unigramLmScores: every doc scored, scores negative
+    val docs = Seq((1L, "a a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val lm = Graft.text.unigramLmScores(docs).collect()
+    assert(lm.length == 2 && lm.forall(_.getDouble(2) < 0))
+  }
 }
