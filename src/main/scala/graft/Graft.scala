@@ -151,6 +151,14 @@ object Graft {
     def semanticDedup(emb: DataFrame,
       tau: Double = ops.Embed.SemanticTau): DataFrame =
       ops.Embed.semanticDedup(emb, tau)
+
+    /** k deterministic different-label negatives per anchor from a
+      * hash-thinned shared pool — reproducible contrastive-training
+      * sampling.
+      */
+    def negativeSample(emb: DataFrame, anchorPred: String,
+      k: Int = 5): DataFrame =
+      ops.Embed.negativeSample(emb, anchorPred, k)
   }
 
   /** Text-analysis operators over any (doc_id LONG, text STRING, ...)
@@ -263,6 +271,12 @@ object Graft {
     def compact(spark: SparkSession, inDir: String, outDir: String,
       targetFileBytes: Long = 128L << 20): Int =
       sources.Sources.compactParquet(spark, inDir, outDir, targetFileBytes)
+
+    /** End-to-end curation: quality filter → exact dedup → semantic
+      * dedup → split; returns the per-split audit frame.
+      */
+    def curate(docs: DataFrame, emb: DataFrame): DataFrame =
+      ops.Curate.curate(docs, emb)
   }
 
   /** Robust statistics over 2-decimal numeric columns (`ops.Robust`):

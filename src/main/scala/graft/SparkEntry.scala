@@ -154,6 +154,8 @@ object SparkEntry {
     "q_random_projection" -> (graft.ops.Embed.qRandomProjection _),
     "q_dedup_semantic" -> (graft.ops.Embed.qDedupSemantic _),
     "q_unigram_lm" -> (graft.ops.Text2.qUnigramLm _),
+    "q_negative_sample" -> (graft.ops.Embed.qNegativeSample _),
+    "q_corpus_curate" -> (graft.ops.Curate.qCorpusCurate _),
     // event-time (events)
     "q_event_tumbling" -> (Events.qEventTumbling _),
     "q_event_sessions" -> (Events.qEventSessions _),
@@ -346,5 +348,6 @@ object SparkEntry {
     graft.ops.Typed.oracles ++ graft.ops.Graph.oracles ++
     graft.sources.Sources.oracles ++
     graft.streaming.Streaming.oracles ++ Skew.oracles ++
-    graft.ops.Robust.oracles ++ graft.ops.Embed.oracles
+    graft.ops.Robust.oracles ++ graft.ops.Embed.oracles ++
+    graft.ops.Curate.oracles
 }

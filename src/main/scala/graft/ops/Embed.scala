@@ -108,7 +108,62 @@ object Embed {
       .orderBy("vec_id")
   }
 
+  /** Negatives drawn per anchor for contrastive training: k
+    * different-label vectors, chosen by deterministic md5 draw so the
+    * sample is reproducible across runs, engines, and partitionings
+    * (the same property every sampler in this library has).
+    *
+    * Shape at scale: negatives come from a SHARED hash-thinned pool
+    * (md5 first hex char = '0' → 1/16 of the corpus), not from
+    * per-anchor scans of the full corpus — the pool is built in one
+    * narrow pass, the anchors broadcast against it, and the per-anchor
+    * rank runs over O(|pool|) rows. Tune the pool rate to k·oversample
+    * / corpus-size; the full-corpus variant would be an O(anchors·n)
+    * shuffle for no statistical gain.
+    */
+  def qNegativeSample(spark: SparkSession, dir: String): DataFrame =
+    negativeSample(Tables.embeddings(spark, dir), "vec_id < 20", 5)
+
+  /** Same sampler over any (vec_id, label) frame. */
+  def negativeSample(emb: DataFrame, anchorPred: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val anchors = emb.filter(expr(anchorPred))
+      .select(col("vec_id").as("anchor_id"), col("label").as("a_label"))
+    val pool = emb
+      .filter(substring(md5(concat(col("vec_id").cast("string"),
+        lit("_pool")).cast("binary")), 1, 1) === "0")
+      .select(col("vec_id").as("neg_id"), col("label").as("n_label"))
+    val w = Window.partitionBy("anchor_id")
+      .orderBy(col("draw").asc, col("neg_id").asc)
+    broadcast(anchors).join(pool,
+        col("a_label") =!= col("n_label") &&
+          col("anchor_id") =!= col("neg_id"))
+      .withColumn("draw", md5(concat(col("anchor_id").cast("string"),
+        lit("_"), col("neg_id").cast("string")).cast("binary")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("anchor_id"), col("neg_id"), col("rnk"))
+      .orderBy("anchor_id", "rnk")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_negative_sample" ->
+      """WITH anchors AS (
+        |  SELECT vec_id AS anchor_id, label AS a_label FROM embeddings
+        |  WHERE vec_id < 20),
+        |pool AS (
+        |  SELECT vec_id AS neg_id, label AS n_label FROM embeddings
+        |  WHERE substring(md5(CAST(vec_id AS VARCHAR) || '_pool'), 1, 1)
+        |    = '0'),
+        |ranked AS (
+        |  SELECT anchor_id, neg_id,
+        |    CAST(row_number() OVER (PARTITION BY anchor_id
+        |      ORDER BY md5(CAST(anchor_id AS VARCHAR) || '_' ||
+        |        CAST(neg_id AS VARCHAR)) ASC, neg_id ASC) AS INT) AS rnk
+        |  FROM anchors JOIN pool
+        |    ON a_label <> n_label AND anchor_id <> neg_id)
+        |SELECT anchor_id, neg_id, rnk FROM ranked
+        |WHERE rnk <= 5 ORDER BY anchor_id, rnk""".stripMargin,
     "q_random_projection" -> {
       val ys = (0 until ProjDim).map { j =>
         s"  round((${chain(j, i => s"embedding[$i]")})" +
