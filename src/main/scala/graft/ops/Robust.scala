@@ -53,8 +53,14 @@ object Robust {
       .groupBy(col("g").as("event_type"))
       .agg(first(col("n")).as("n_events"),
         sum(col("is_out")).as("n_outliers"),
-        round(first(col("s")).cast("double") /
-          first(col("n")).cast("double") / 100.0, 6).as("avg_value"))
+        first(col("s")).as("s"))
+      // mean in integer micro-units (s is value·100, so ·10⁴ → micro),
+      // half away from zero — a decimal-sum / count quotient can land
+      // exactly on a rounding half-boundary where the engines' round()
+      // disagree (see Text2.unigramLmScores); floor-div never does
+      .select(col("event_type"), col("n_events"), col("n_outliers"),
+        expr("(s * 10000 * 2 + n_events) div (n_events * 2)")
+          .cast("double").divide(lit(1000000.0)).as("avg_value"))
       .orderBy("event_type")
   }
 
@@ -126,7 +132,8 @@ object Robust {
         |             * (CAST(w.w AS HUGEINT) * n - s)
         |           > 4 * (CAST(q AS HUGEINT) * n - CAST(s AS HUGEINT) * s)
         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
-        |  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6) AS avg_value
+        |  CAST((s * 10000 * 2 + n) // (n * 2) AS DOUBLE) / 1000000.0
+        |    AS avg_value
         |FROM w JOIN st USING (g)
         |GROUP BY g, n, s ORDER BY event_type""".stripMargin,
     "q_winsorize" ->

@@ -97,11 +97,21 @@ object Text2 {
         round(log((col("c") + 1).cast("double") /
           (col("n_total") + col("v")).cast("double")), 6)
           .cast("decimal(12,6)").as("lp"))
+    // The mean is rounded in INTEGER arithmetic (micro-units, half away
+    // from zero), never via round() on a double quotient: an exact
+    // decimal sum divided by a token count can land exactly on a
+    // half-boundary (measured at sf0.1: -210.926201/62 = -3.4020355),
+    // where Spark's BigDecimal HALF_UP on the true double and DuckDB's
+    // multiply-then-round disagree. floor-div of positive integers is
+    // engine-exact; the final /1e6 is one IEEE division on both sides.
     toks.join(lp, "w")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
-        round(sum(col("lp")).cast("double") /
-          count(lit(1)).cast("double"), 6).as("avg_logp"))
+        (sum(col("lp")) * 1000000).cast("long").as("m"))
+      .select(col("doc_id"), col("n_tokens"),
+        (expr("CASE WHEN m < 0 THEN -1L ELSE 1L END") *
+          expr("(abs(m) * 2 + n_tokens) div (n_tokens * 2)"))
+          .cast("double").divide(lit(1000000.0)).as("avg_logp"))
       .orderBy("doc_id")
   }
 
@@ -121,11 +131,16 @@ object Text2 {
         |    CAST(round(ln(CAST(c + 1 AS DOUBLE) /
         |      CAST(n_total + v AS DOUBLE)), 6) AS DECIMAL(12,6)) AS lp
         |  FROM vocab CROSS JOIN tot)
-        |SELECT doc_id, COUNT(*) AS n_tokens,
-        |  round(CAST(SUM(lp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
-        |    AS avg_logp
-        |FROM toks JOIN lp USING (w)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |SELECT doc_id, n_tokens,
+        |  CAST((CASE WHEN m < 0 THEN -1 ELSE 1 END)
+        |    * ((abs(m) * 2 + n_tokens) // (n_tokens * 2)) AS DOUBLE)
+        |    / 1000000.0 AS avg_logp
+        |FROM (
+        |  SELECT doc_id, COUNT(*) AS n_tokens,
+        |    CAST(SUM(lp) * 1000000 AS BIGINT) AS m
+        |  FROM toks JOIN lp USING (w)
+        |  GROUP BY doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q_pmi_bigrams" ->
       """WITH t AS (
         |  SELECT doc_id, unnest(w) AS tok,

@@ -173,6 +173,44 @@ object ScaleProbe {
       if (k == 10) time(s"embed cand 4x12b ${k}x")(candCount(e, 4, 12))
       e.unpersist()
     }
+    // Semantic dedup growth: the SemDeDup design point is cluster count
+    // ~ corpus size with bounded occupancy, so the replication gives
+    // each copy its OWN cluster ids (label + 10·i) — per-cluster work
+    // constant, total work linear in k. (Same-label replication would
+    // grow occupancy ×k and the within-cluster quadratic ×k² — that is
+    // the cluster-granularity knob SCALE.md documents, not the design.)
+    def scaledEmbClusters(k: Int): DataFrame = {
+      val base = graft.Tables.embeddings(spark, sfDir)
+      val n = base.count()
+      (0 until k).map { i =>
+        base.withColumn("vec_id", col("vec_id") + lit(i * n))
+          .withColumn("label", col("label") + lit(i * 10))
+      }.reduce(_ union _).repartition(cpus.toInt)
+    }
+    Seq(1, 4, 10).foreach { k =>
+      val e = scaledEmbClusters(k).cache()
+      e.count()
+      time(s"semantic dedup ${k}x")(
+        graft.ops.Embed.semanticDedup(e, graft.ops.Embed.SemanticTau)
+          .filter(!col("kept")).count())
+      time(s"random proj ${k}x")(
+        graft.ops.Embed.randomProject(e).count())
+      e.unpersist()
+    }
+
+    // Text/curation lanes: narrow passes + bounded-key aggregates —
+    // must be linear. Curate pairs the k× corpus with the k×-cluster
+    // embeddings frame (doc_id and vec_id offsets aligned).
+    Seq(1, 4, 10).foreach { k =>
+      val d = scaled(k).cache()
+      d.count()
+      val e = scaledEmbClusters(k).cache()
+      e.count()
+      time(s"unigram lm ${k}x")(
+        graft.ops.Text2.unigramLmScores(d).count())
+      time(s"curate ${k}x")(graft.ops.Curate.curate(d, e).count())
+      d.unpersist(); e.unpersist()
+    }
     spark.stop()
   }
 }
