@@ -277,6 +277,14 @@ object Graft {
       */
     def curate(docs: DataFrame, emb: DataFrame): DataFrame =
       ops.Curate.curate(docs, emb)
+
+    /** Z-ordered parquet layout over two integer keys — tight per-file
+      * min/max on BOTH columns, so box predicates skip most row groups
+      * (`ZOrderSpec` measures ~10× fewer rows scanned).
+      */
+    def writeZOrdered(df: DataFrame, out: String, colA: String,
+      colB: String, nFiles: Int): Unit =
+      sources.Sources.writeZOrdered(df, out, colA, colB, nFiles)
   }
 
   /** Robust statistics over 2-decimal numeric columns (`ops.Robust`):

@@ -100,6 +100,41 @@ object Sources {
     n
   }
 
+  /** Z-ordered parquet layout over two integer-keyed columns: quantize
+    * each key to 16 bits over its min..max range, interleave the bits
+    * into a z-value, range-partition + sort on it, write. Each output
+    * file then covers a tight rectangle in (a, b) space, so its parquet
+    * footer min/max on BOTH columns is narrow — a predicate box skips
+    * the row groups of every file outside it (Spark prunes at row-group
+    * granularity from the pushed filters; with one row group per file
+    * that is file-level skipping). This is the at-rest layout lever for
+    * multi-dimensional point/box lookups that single-column sorting
+    * cannot give: sorting by `a` leaves every file spanning all of `b`.
+    * Measured in `ZOrderSpec`: a ~1% box scan reads ~10× fewer rows
+    * from the z-ordered layout than from a round-robin one.
+    */
+  def writeZOrdered(df: DataFrame, out: String, colA: String, colB: String,
+    nFiles: Int): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, max => smax, min => smin}
+    val r = df.agg(smin(col(colA)), smax(col(colA)), smin(col(colB)),
+      smax(col(colB))).head()
+    def q(c: String, lo: Long, hi: Long): String = {
+      val span = math.max(1L, hi - lo)
+      s"CAST(((`$c` - ${lo}L) * 65535L) DIV ${span}L AS BIGINT)"
+    }
+    val qa = q(colA, r.getLong(0), r.getLong(1))
+    val qb = q(colB, r.getLong(2), r.getLong(3))
+    val z = (0 until 16).map { b =>
+      s"(shiftleft(shiftright($qa, $b) & 1, ${2 * b}) | " +
+        s"shiftleft(shiftright($qb, $b) & 1, ${2 * b + 1}))"
+    }.mkString("(", " | ", ")")
+    df.withColumn("__z", org.apache.spark.sql.functions.expr(z))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(out)
+  }
+
   /** Raw media ingestion: whole files as rows (path, modificationTime,
     * length, content BINARY) — the step BEFORE the multimodal lane's
     * parquet-resident binary columns exist. `pathGlobFilter` prunes by

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sources.Sources
+
+/** Z-order layout: a box predicate over two keys must read far fewer
+  * rows from the z-ordered files than from a round-robin layout —
+  * parquet row-group skipping from the pushed min/max filters is the
+  * mechanism, so the assertion is on the SCAN's actual output rows.
+  */
+class ZOrderSpec extends SparkTestBase {
+
+  private def scannedRows(df: DataFrame): Long = {
+    // run THIS frame's physical plan (df.count() would plan a separate
+    // aggregate query and leave these metrics untouched)
+    val plan = df.queryExecution.executedPlan
+    plan.execute().count()
+    plan.collectLeaves().map(_.metrics("numOutputRows").value).sum
+  }
+
+  test("z-ordered layout skips row groups a round-robin layout cannot") {
+    val base = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-z").toString
+    Sources.writeZOrdered(base, s"$tmp/zorder", "l_partkey", "l_suppkey", 16)
+    base.repartition(16)
+      .write.mode("overwrite").parquet(s"$tmp/plain")
+
+    val maxP = base.agg(max("l_partkey")).head().getLong(0)
+    val maxS = base.agg(max("l_suppkey")).head().getLong(0)
+    // ~10% x ~10% box -> ~1% of the key plane
+    def box(dir: String): DataFrame =
+      spark.read.parquet(s"$tmp/$dir")
+        .filter(col("l_partkey") <= maxP / 10 &&
+          col("l_suppkey") <= maxS / 10)
+
+    val total = base.count()
+    val nBox = box("zorder").count()
+    assert(nBox == box("plain").count(), "layouts must agree on the answer")
+
+    val zScan = scannedRows(box("zorder"))
+    val plainScan = scannedRows(box("plain"))
+    // round-robin files span the whole key plane: every row group
+    // matches the pushed range and the scan reads ~everything
+    assert(plainScan >= total / 2, s"plain layout scanned $plainScan/$total")
+    // z-ordered files are tight rectangles: most row groups are skipped
+    assert(zScan * 2 <= plainScan,
+      s"z-order scanned $zScan vs plain $plainScan")
+  }
+}
