@@ -196,6 +196,13 @@ object Graft {
     def unigramLmScores(docs: DataFrame): DataFrame =
       ops.Text2.unigramLmScores(docs)
 
+    /** Fuzzy self-join: all distinct values of `name` within
+      * Levenshtein `maxDist`, via lossless padded-3-gram blocking —
+      * record linkage without the cross join.
+      */
+    def fuzzySelfJoin(names: DataFrame, maxDist: Int = 2): DataFrame =
+      ops.Fuzzy.fuzzySelfJoin(names, maxDist)
+
     def pmiBigrams(docs: DataFrame, minCount: Int = 3, k: Int = 15): DataFrame =
       ops.Text2.pmiBigramsOf(docs, minCount, k)
   }

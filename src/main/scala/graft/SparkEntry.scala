@@ -156,6 +156,7 @@ object SparkEntry {
     "q_unigram_lm" -> (graft.ops.Text2.qUnigramLm _),
     "q_negative_sample" -> (graft.ops.Embed.qNegativeSample _),
     "q_corpus_curate" -> (graft.ops.Curate.qCorpusCurate _),
+    "q_fuzzy_join" -> (graft.ops.Fuzzy.qFuzzyJoin _),
     // event-time (events)
     "q_event_tumbling" -> (Events.qEventTumbling _),
     "q_event_sessions" -> (Events.qEventSessions _),
@@ -349,5 +350,5 @@ object SparkEntry {
     graft.sources.Sources.oracles ++
     graft.streaming.Streaming.oracles ++ Skew.oracles ++
     graft.ops.Robust.oracles ++ graft.ops.Embed.oracles ++
-    graft.ops.Curate.oracles
+    graft.ops.Curate.oracles ++ graft.ops.Fuzzy.oracles
 }

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Fuzzy
+
+/** Fuzzy-join semantics: the gram-blocked result must equal the brute
+  * all-pairs answer (blocking losslessness for k=2, len>=5), with known
+  * pairs present.
+  */
+class FuzzySpec extends SparkTestBase {
+
+  test("gram blocking loses no pair vs brute-force all-pairs") {
+    val names = Tables.part(spark, sfDir).select(col("p_name").as("name"))
+    val got = Fuzzy.fuzzySelfJoin(names, 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    val n = names.distinct().as("a")
+    val brute = n.join(names.distinct().as("b"),
+        col("a.name") < col("b.name"))
+      .select(col("a.name"), col("b.name"),
+        levenshtein(col("a.name"), col("b.name")).as("d"))
+      .filter(col("d") <= 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(got == brute)
+    assert(got.nonEmpty, "corpus should contain near-duplicate names")
+    got.foreach { case (_, _, d) => assert(d >= 1 && d <= 2) }
+  }
+
+  test("ad-hoc frame: finds the planted typo pair only") {
+    import spark.implicits._
+    val df = Seq("spark engine", "spark enjine", "wholly different")
+      .toDF("name")
+    val got = Fuzzy.fuzzySelfJoin(df, 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    assert(got.toList == List(("spark engine", "spark enjine", 1)))
+  }
+}
