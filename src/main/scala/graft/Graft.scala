@@ -311,5 +311,11 @@ object Graft {
     def winsorize(df: DataFrame, group: Column, value: Column,
       pLo: Int = 1, pHi: Int = 99): DataFrame =
       ops.Robust.winsorize(df, group, value, pLo, pHi)
+
+    /** Per-group exact-decile binning audit (bin, count, lo, hi) —
+      * the quantile discretizer without ntile's row-scale sort.
+      */
+    def featureBins(df: DataFrame, group: Column, value: Column): DataFrame =
+      ops.Robust.featureBins(df, group, value)
   }
 }

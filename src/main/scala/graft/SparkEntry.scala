@@ -83,6 +83,7 @@ object SparkEntry {
     "q_stream_static_join" -> (graft.streaming.Streaming.qStreamStaticJoin _),
     "q_event_zscore" -> (graft.ops.Robust.qEventZscore _),
     "q_winsorize" -> (graft.ops.Robust.qWinsorize _),
+    "q_feature_binning" -> (graft.ops.Robust.qFeatureBinning _),
     "q_join_hinted" -> (graft.ops.Relational7.qJoinHinted _),
     "q_stats_agg" -> (graft.ops.Relational6.qStatsAgg _),
     "q_string_funcs2" -> (graft.ops.Relational6.qStringFuncs2 _),

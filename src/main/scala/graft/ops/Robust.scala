@@ -117,7 +117,82 @@ object Robust {
       .orderBy("l_returnflag")
   }
 
+  /** Decile feature binning — the quantile-discretizer stage, done the
+    * scale-correct way: `ntile(10)` would globally rank every row
+    * (a per-group row-scale sort); instead the 9 exact decile
+    * thresholds (rank-ceil(d·n/10) VALUES, same distinct-value
+    * cumulative machinery as [[winsorize]]) broadcast back and each
+    * row's bin is nine decimal comparisons. Bin semantics: bin =
+    * #thresholds strictly below the value (0..9); ties land in the
+    * lowest bin whose threshold equals them — deterministic under any
+    * row order, unlike ntile's arbitrary tie split.
+    */
+  def qFeatureBinning(spark: SparkSession, dir: String): DataFrame =
+    featureBins(Tables.lineitem(spark, dir), col("l_returnflag"),
+      col("l_extendedprice"))
+
+  /** [[qFeatureBinning]] over any frame: per-group decile audit. */
+  def featureBins(df: DataFrame, group: Column, value: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val prices = df.select(group.as("g"),
+      value.cast(DecimalType(12, 2)).as("p"))
+    val cnts = prices.groupBy("g", "p").agg(count(lit(1)).as("c"))
+    val byG = Window.partitionBy("g")
+    val cum = Window.partitionBy("g").orderBy("p")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = cnts
+      .withColumn("cum", sum(col("c")).over(cum))
+      .withColumn("n", sum(col("c")).over(byG))
+    val tCols = (1 to 9).map(d => min(when(
+      col("cum") >= expr(s"(n * $d + 9) div 10"), col("p"))).as(s"t$d"))
+    val thresholds = ranked.groupBy("g").agg(tCols.head, tCols.tail: _*)
+    val bin = (1 to 9).map(d => (col("p") > col(s"t$d")).cast("int"))
+      .reduce(_ + _)
+    prices.join(broadcast(thresholds), "g")
+      .withColumn("bin", bin)
+      .groupBy(col("g").as("l_returnflag"), col("bin"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("p")).cast("double").as("lo"),
+        max(col("p")).cast("double").as("hi"))
+      .orderBy("l_returnflag", "bin")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_feature_binning" ->
+      """WITH pr AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(l_extendedprice AS DECIMAL(12,2)) AS p
+        |  FROM lineitem),
+        |cnts AS (SELECT g, p, COUNT(*) AS c FROM pr GROUP BY g, p),
+        |ranked AS (
+        |  SELECT g, p,
+        |    SUM(c) OVER (PARTITION BY g ORDER BY p
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(c) OVER (PARTITION BY g) AS n
+        |  FROM cnts),
+        |th AS (
+        |  SELECT g,
+        |    MIN(CASE WHEN cum >= (n * 1 + 9) // 10 THEN p END) AS t1,
+        |    MIN(CASE WHEN cum >= (n * 2 + 9) // 10 THEN p END) AS t2,
+        |    MIN(CASE WHEN cum >= (n * 3 + 9) // 10 THEN p END) AS t3,
+        |    MIN(CASE WHEN cum >= (n * 4 + 9) // 10 THEN p END) AS t4,
+        |    MIN(CASE WHEN cum >= (n * 5 + 9) // 10 THEN p END) AS t5,
+        |    MIN(CASE WHEN cum >= (n * 6 + 9) // 10 THEN p END) AS t6,
+        |    MIN(CASE WHEN cum >= (n * 7 + 9) // 10 THEN p END) AS t7,
+        |    MIN(CASE WHEN cum >= (n * 8 + 9) // 10 THEN p END) AS t8,
+        |    MIN(CASE WHEN cum >= (n * 9 + 9) // 10 THEN p END) AS t9
+        |  FROM ranked GROUP BY g)
+        |SELECT g AS l_returnflag,
+        |  CAST((p > t1) AS INT) + CAST((p > t2) AS INT)
+        |    + CAST((p > t3) AS INT) + CAST((p > t4) AS INT)
+        |    + CAST((p > t5) AS INT) + CAST((p > t6) AS INT)
+        |    + CAST((p > t7) AS INT) + CAST((p > t8) AS INT)
+        |    + CAST((p > t9) AS INT) AS bin,
+        |  COUNT(*) AS n_rows,
+        |  CAST(MIN(p) AS DOUBLE) AS lo,
+        |  CAST(MAX(p) AS DOUBLE) AS hi
+        |FROM pr JOIN th USING (g)
+        |GROUP BY g, bin ORDER BY l_returnflag, bin""".stripMargin,
     "q_event_zscore" ->
       """WITH w AS (
         |  SELECT event_type AS g,

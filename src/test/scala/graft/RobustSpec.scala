@@ -68,6 +68,30 @@ class RobustSpec extends SparkTestBase {
     assert(winTotal > 0 && math.abs(winTotal - plain) / plain < 0.05)
   }
 
+  test("feature binning: bins partition each group, roughly equal mass") {
+    val rows = graft.ops.Robust.qFeatureBinning(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    val byG = rows.groupBy(_._1)
+    val totals = Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    byG.foreach { case (g, bins) =>
+      assert(bins.map(_._3).sum == totals(g), s"group $g mass")
+      // every bin holds within 2x of the ideal tenth (ties can skew)
+      bins.foreach { case (_, b, n, lo, hi) =>
+        assert(b >= 0 && b <= 9)
+        assert(lo <= hi)
+        assert(n <= totals(g) / 5, s"group $g bin $b overloaded: $n")
+      }
+      // bin ranges are ordered and non-overlapping
+      val sorted = bins.sortBy(_._2).toList
+      sorted.zip(sorted.drop(1)).foreach { case (a, b) =>
+        assert(a._5 <= b._4, s"group $g bins overlap")
+      }
+    }
+  }
+
   test("stream-static join reconciles with the batch join") {
     val got = graft.streaming.Streaming.qStreamStaticJoin(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
