@@ -230,6 +230,12 @@ object Graft {
     /** Day-cohort retention (+1/+7 days) over (user_id, ts). */
     def retention(events: DataFrame): DataFrame =
       ops.Events2.retentionOf(events)
+
+    /** Signup→purchase latency distribution with exact rank-based
+      * median/p90 (no interpolation, no row-scale sort).
+      */
+    def timeToConvert(events: DataFrame): DataFrame =
+      ops.Events2.timeToConvertOf(events)
   }
 
   /** Training-pipeline composites: packing, splits, incremental dedup,

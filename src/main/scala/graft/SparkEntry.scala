@@ -164,6 +164,7 @@ object SparkEntry {
     "q_event_asof" -> (Events.qEventAsof _),
     "q_event_funnel" -> (graft.ops.Events2.qEventFunnel _),
     "q_event_retention" -> (graft.ops.Events2.qEventRetention _),
+    "q_time_to_convert" -> (graft.ops.Events2.qTimeToConvert _),
     "q_window_time_range" -> (graft.ops.Events2.qWindowTimeRange _),
     "q_event_asof_plan" -> (Events.qEventAsofPlan _),
     "q_map_funcs" -> (Events.qMapFuncs _),

@@ -96,7 +96,74 @@ object Events2 {
           |  AS DOUBLE) AS sum_1h""".stripMargin)
       .orderBy("event_id")
 
+  /** Time-to-conversion distribution: per user, seconds from first
+    * signup to the first purchase at or after it; corpus stats with
+    * EXACT rank-based median and p90 (the value at rank ceil(q·n) via
+    * the distinct-value cumulative pass — integer-exact, no
+    * interpolation, never a row-scale sort; same machinery as
+    * [[Robust.winsorize]]). The per-user joins co-partition on
+    * user_id like the rest of this lane.
+    */
+  def qTimeToConvert(spark: SparkSession, dir: String): DataFrame =
+    timeToConvertOf(Tables.events(spark, dir))
+
+  /** Same operator over any (user_id, event_type, ts) frame. */
+  def timeToConvertOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events.select(col("user_id"), col("event_type"),
+      unix_timestamp(col("ts")).as("sec"))
+    val s = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("sec")).as("s_sec"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(s, "user_id").filter(col("sec") >= col("s_sec"))
+      .groupBy("user_id").agg(min(col("sec")).as("p_sec"))
+    val deltas = p.join(s, "user_id")
+      .select((col("p_sec") - col("s_sec")).as("d"))
+    val cnts = deltas.groupBy("d").agg(count(lit(1)).as("c"))
+    val cum = Window.orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cnts
+      .withColumn("cum", sum(col("c")).over(cum))
+      .withColumn("n", sum(col("c")).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .agg(first(col("n")).as("n_users"),
+        min(col("d")).as("min_sec"),
+        min(when(col("cum") >= expr("(n + 1) div 2"), col("d")))
+          .as("median_sec"),
+        min(when(col("cum") >= expr("(n * 9 + 9) div 10"), col("d")))
+          .as("p90_sec"),
+        max(col("d")).as("max_sec"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_time_to_convert" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events),
+        |s AS (SELECT user_id, MIN(sec) AS s_sec FROM ev
+        |      WHERE event_type = 'signup' GROUP BY user_id),
+        |p AS (SELECT ev.user_id, MIN(sec) AS p_sec FROM ev
+        |      JOIN s ON ev.user_id = s.user_id
+        |      WHERE event_type = 'purchase' AND sec >= s_sec
+        |      GROUP BY ev.user_id),
+        |deltas AS (
+        |  SELECT p.p_sec - s.s_sec AS d FROM p
+        |  JOIN s ON p.user_id = s.user_id),
+        |cnts AS (SELECT d, COUNT(*) AS c FROM deltas GROUP BY d),
+        |ranked AS (
+        |  SELECT d,
+        |    SUM(c) OVER (ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(c) OVER () AS n
+        |  FROM cnts)
+        |SELECT CAST(MAX(n) AS BIGINT) AS n_users,
+        |  MIN(d) AS min_sec,
+        |  MIN(CASE WHEN cum >= (n + 1) // 2 THEN d END) AS median_sec,
+        |  MIN(CASE WHEN cum >= (n * 9 + 9) // 10 THEN d END) AS p90_sec,
+        |  MAX(d) AS max_sec
+        |FROM ranked""".stripMargin,
     "q_window_time_range" ->
       """WITH t AS (
         |  SELECT event_id, user_id, value,

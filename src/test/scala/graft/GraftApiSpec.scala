@@ -163,5 +163,15 @@ class GraftApiSpec extends SparkTestBase {
     val docs = Seq((1L, "a a b"), (2L, "a b c")).toDF("doc_id", "text")
     val lm = Graft.text.unigramLmScores(docs).collect()
     assert(lm.length == 2 && lm.forall(_.getDouble(2) < 0))
+    // events.timeToConvert: u1 converts in 3600s, u2 in 7200s, u3 never
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-03-01 $h%02d:00:00")
+    val ev = Seq(
+      (1L, "signup", ts(1)), (1L, "purchase", ts(2)),
+      (2L, "signup", ts(1)), (2L, "purchase", ts(3)),
+      (3L, "signup", ts(1)))
+      .toDF("user_id", "event_type", "ts")
+    val t = Graft.events.timeToConvert(ev).collect().head
+    assert((t.getLong(0), t.getLong(1), t.getLong(2), t.getLong(3),
+      t.getLong(4)) == ((2L, 3600L, 3600L, 7200L, 7200L)))
   }
 }
