@@ -60,11 +60,12 @@ object Bench {
       "q_salted_join", "q_salted_agg", "q_range_join", "q_sql_entry",
       "q_partition_pruning", "q_winsorize", "q_event_zscore",
       "q_event_asof", "q_event_sessions", "q_event_tumbling",
-      "q_event_funnel",
+      "q_event_funnel", "q_time_to_convert", "q_feature_binning",
+      "q_fuzzy_join",
       "q_token_count", "q_lang_id", "q_quality", "q_text_repetition",
       "q_text_chunk", "q_fingerprint_rolling", "q_ngram_top",
       "q_contamination", "q_tfidf_top", "q_pmi_bigrams",
-      "q_sample_stratified", "q_unigram_lm",
+      "q_unigram_lm",
       "q_dedup_exact", "q_dedup_minhash", "q_dedup_jaccard",
       "q_dedup_jaccard_capped", "q_dedup_simhash", "q_dedup_embed",
       "q_dedup_resolve", "q_dedup_verify", "q_dedup_keep_best",
@@ -74,9 +75,9 @@ object Bench {
       "q_profile", "q_constraints", "q_sketch_union", "q_graph_pagerank",
       "q_sim_topk", "q_sim_lsh", "q_sim_ivf",
       "q_sim_ivf_kmeans",
-      "q_sim_batch_topk", "q_sim_batch_ivf", "q_sim_quantize",
+      "q_sim_batch_topk", "q_sim_batch_ivf",
       "q_random_projection", "q_negative_sample",
-      "q_mm_meta", "q_mm_resize",
+      "q_mm_resize",
       "q_stream_tumbling", "q_stream_sessions", "q_stream_session_window",
       "q_stream_join", "q_stream_left_join", "q_stream_dedup",
       "q_stream_upsert", "q_stream_static_join")
