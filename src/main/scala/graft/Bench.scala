@@ -82,8 +82,11 @@ object Bench {
       "q_stream_join", "q_stream_left_join", "q_stream_dedup",
       "q_stream_upsert", "q_stream_static_join")
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    // per-query values at 2 decimals: 10 ms resolution is plenty for a
+    // trend line and buys ~80 bytes of headroom under the ~1.9 KB cap
+    def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val byName = results.toMap
-    val qs = headline.flatMap(k => byName.get(k).map(v => s"\"$k\":" + f3(v)))
+    val qs = headline.flatMap(k => byName.get(k).map(v => s"\"$k\":" + f2(v)))
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

@@ -190,6 +190,9 @@ object Graft {
     /** PMI collocations: top-k adjacent token pairs by pointwise mutual
       * information (the BPE-style merge-rule signal).
       */
+    def pmiBigrams(docs: DataFrame, minCount: Int = 3, k: Int = 15): DataFrame =
+      ops.Text2.pmiBigramsOf(docs, minCount, k)
+
     /** Corpus-trained unigram-LM mean log-prob per document — the
       * model-free fluency/quality score.
       */
@@ -197,14 +200,12 @@ object Graft {
       ops.Text2.unigramLmScores(docs)
 
     /** Fuzzy self-join: all distinct values of `name` within
-      * Levenshtein `maxDist`, via lossless padded-3-gram blocking —
-      * record linkage without the cross join.
+      * Levenshtein `maxDist`, via gram blocking (lossless — short
+      * strings below the gram guarantee pair via a broadcast rescue
+      * path) — record linkage without the cross join.
       */
     def fuzzySelfJoin(names: DataFrame, maxDist: Int = 2): DataFrame =
       ops.Fuzzy.fuzzySelfJoin(names, maxDist)
-
-    def pmiBigrams(docs: DataFrame, minCount: Int = 3, k: Int = 15): DataFrame =
-      ops.Text2.pmiBigramsOf(docs, minCount, k)
   }
 
   /** Event-time operators. */

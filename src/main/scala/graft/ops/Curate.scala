@@ -31,17 +31,20 @@ object Curate {
   def curate(docs: DataFrame, emb: DataFrame): DataFrame = {
     val keepQ = Text.qualityOf(docs).filter(col("keep")).select("doc_id")
     val keepExact = docs
-      .withColumn("fp",
-        md5(regexp_replace(lower(col("text")), "[^a-z0-9]", "")
-          .cast("binary")))
+      .withColumn("fp", Dedup.exactFp(col("text")))
       .groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
-    val keepSem = Embed.semanticDedup(emb, Embed.SemanticTau)
-      .filter(col("kept")).select(col("vec_id").as("doc_id"))
+    // ANTI-join against the DROPPED ids, not semi-join against kept
+    // ones: a document with no embedding row cannot be a semantic
+    // duplicate of anything and must survive this stage (at sf0.1 only
+    // 2 000 of 5 000 docs carry embeddings — a semi-join would discard
+    // the other 60% for a reason unrelated to quality or duplication).
+    val semDropped = Embed.semanticDedup(emb, Embed.SemanticTau)
+      .filter(!col("kept")).select(col("vec_id").as("doc_id"))
     val survivors = docs
       .join(keepQ, Seq("doc_id"), "left_semi")
       .join(keepExact, Seq("doc_id"), "left_semi")
-      .join(keepSem, Seq("doc_id"), "left_semi")
+      .join(semDropped, Seq("doc_id"), "left_anti")
     Pipeline.withSplit(survivors)
       .groupBy("split")
       .agg(count(lit(1)).as("n_docs"),
@@ -88,14 +91,11 @@ object Curate {
          |      list_zip(a.embedding, b.embedding),
          |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
          |      / (a.nrm * b.nrm), 6) >= ${Embed.SemanticTau}),
-         |keep_s AS (
-         |  SELECT vec_id AS doc_id FROM e
-         |  WHERE vec_id NOT IN (SELECT vec_id FROM sem_dropped)),
          |surv AS (
          |  SELECT d.doc_id, d.text, d.source FROM documents d
          |  JOIN keep_q USING (doc_id)
          |  JOIN keep_x USING (doc_id)
-         |  JOIN keep_s USING (doc_id)),
+         |  WHERE d.doc_id NOT IN (SELECT vec_id FROM sem_dropped)),
          |spl AS (
          |  SELECT *,
          |    CASE WHEN bucket < 90 THEN 'train'

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -22,13 +22,20 @@ import graft.Tables
   */
 object Dedup {
 
+  /** THE exact-dedup fingerprint: md5 of the lowercased alphanumerics
+    * of a text column — one definition shared by the dedup lane, the
+    * incremental pipeline, and the curation composite so the
+    * normalization can never silently diverge between them.
+    */
+  def exactFp(text: Column): Column =
+    md5(regexp_replace(lower(text), "[^a-z0-9]", "").cast("binary"))
+
   /** Exact dedup: count vs distinct-fingerprint count per source
     * (fingerprint = md5 of normalized text, the [[Text.qFingerprint]] key).
     */
   def qDedupExact(spark: SparkSession, dir: String): DataFrame = {
     Tables.documents(spark, dir)
-      .withColumn("fp",
-        md5(regexp_replace(lower(col("text")), "[^a-z0-9]", "").cast("binary")))
+      .withColumn("fp", exactFp(col("text")))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         count_distinct(col("fp")).as("n_unique"))

@@ -107,9 +107,13 @@ object Events2 {
   def qTimeToConvert(spark: SparkSession, dir: String): DataFrame =
     timeToConvertOf(Tables.events(spark, dir))
 
-  /** Same operator over any (user_id, event_type, ts) frame. */
+  /** Same operator over any (user_id, event_type, ts) frame. The
+    * cumulative rank pass reuses [[Robust.cumCounts]]'s two-level
+    * distributed prefix sum (one synthetic group), so the distinct
+    * deltas are never sorted on a single task.
+    */
   def timeToConvertOf(events: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
     val ev = events.select(col("user_id"), col("event_type"),
       unix_timestamp(col("ts")).as("sec"))
     val s = ev.filter(col("event_type") === "signup")
@@ -118,15 +122,10 @@ object Events2 {
       .join(s, "user_id").filter(col("sec") >= col("s_sec"))
       .groupBy("user_id").agg(min(col("sec")).as("p_sec"))
     val deltas = p.join(s, "user_id")
-      .select((col("p_sec") - col("s_sec")).as("d"))
-    val cnts = deltas.groupBy("d").agg(count(lit(1)).as("c"))
-    val cum = Window.orderBy("d")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cnts
-      .withColumn("cum", sum(col("c")).over(cum))
-      .withColumn("n", sum(col("c")).over(
-        Window.rowsBetween(Window.unboundedPreceding,
-          Window.unboundedFollowing)))
+      .select(lit("all").as("g"),
+        (col("p_sec") - col("s_sec")).cast(DecimalType(12, 2)).as("p"))
+    Robust.cumCounts(deltas)
+      .withColumn("d", col("p").cast("long"))
       .agg(first(col("n")).as("n_users"),
         min(col("d")).as("min_sec"),
         min(when(col("cum") >= expr("(n + 1) div 2"), col("d")))

@@ -31,19 +31,32 @@ object Fuzzy {
     fuzzySelfJoin(
       Tables.part(spark, dir).select(col("p_name").as("name")), 2)
 
-  /** All distinct-value pairs of `name` within Levenshtein `maxDist`. */
+  /** All distinct-value pairs of `name` within Levenshtein `maxDist`.
+    *
+    * Completeness: the gram guarantee (shared ≥ L+2−3k) needs
+    * L ≥ 3k−1, so names SHORTER than that can evade the blocking — they
+    * are paired against every name directly instead (broadcast: the
+    * short-name set is tiny by definition, and at k=2 that is only
+    * names under 5 chars). The union keeps the documented all-pairs
+    * contract for every input, not just long strings.
+    */
   def fuzzySelfJoin(names: DataFrame, maxDist: Int): DataFrame = {
     val n = names.select(col("name")).distinct()
+    val minSafeLen = 3 * maxDist - 1
     val grams = n.select(col("name"), explode(expr(
         """transform(sequence(1, length(name) + 2),
           |  i -> substring(concat('##', name, '##'), i, 3))""".stripMargin))
         .as("g"))
       .distinct()
-    val cand = grams.as("a").join(grams.as("b"),
+    val blocked = grams.as("a").join(grams.as("b"),
         col("a.g") === col("b.g") && col("a.name") < col("b.name"))
       .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
-      .distinct()
-    cand
+    val short = n.filter(length(col("name")) < minSafeLen)
+    val rescue = broadcast(short.select(col("name").as("s")))
+      .join(n, col("s") =!= col("name"))
+      .select(least(col("s"), col("name")).as("name_a"),
+        greatest(col("s"), col("name")).as("name_b"))
+    blocked.union(rescue).distinct()
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
       .filter(col("dist") <= maxDist)
       .orderBy("name_a", "name_b")

@@ -138,8 +138,7 @@ object Pipeline {
     */
   def qDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
     val fp = Tables.documents(spark, dir)
-      .withColumn("fp",
-        md5(regexp_replace(lower(col("text")), "[^a-z0-9]", "").cast("binary")))
+      .withColumn("fp", Dedup.exactFp(col("text")))
     incrementalOf(
       fp.filter(col("doc_id") % 10 =!= 0),
       fp.filter(col("doc_id") % 10 === 0))

@@ -57,9 +57,13 @@ object Robust {
       // mean in integer micro-units (s is value·100, so ·10⁴ → micro),
       // half away from zero — a decimal-sum / count quotient can land
       // exactly on a rounding half-boundary where the engines' round()
-      // disagree (see Text2.unigramLmScores); floor-div never does
+      // disagree (see Text2.unigramLmScores); floor-div never does.
+      // abs + sign, not a bare div: for a negative sum (deltas, P&L —
+      // this is a general API) Spark's `div` truncates while DuckDB's
+      // `//` floors, and neither is round-half-away.
       .select(col("event_type"), col("n_events"), col("n_outliers"),
-        expr("(s * 10000 * 2 + n_events) div (n_events * 2)")
+        (expr("CASE WHEN s < 0 THEN -1L ELSE 1L END") *
+          expr("(abs(s) * 10000 * 2 + n_events) div (n_events * 2)"))
           .cast("double").divide(lit(1000000.0)).as("avg_value"))
       .orderBy("event_type")
   }
@@ -93,7 +97,7 @@ object Robust {
     * `cum` = #rows with value ≤ p in g, `n` = group size — exactly what
     * the single window produced, at O(groups × buckets) serial work.
     */
-  private def cumCounts(prices: DataFrame): DataFrame = {
+  private[ops] def cumCounts(prices: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cnts = prices.groupBy("g", "p").agg(count(lit(1)).as("c"))
       .withColumn("bkt", expr("CAST(p * 100 AS BIGINT) div 8192"))
@@ -223,7 +227,8 @@ object Robust {
         |             * (CAST(w.w AS HUGEINT) * n - s)
         |           > 4 * (CAST(q AS HUGEINT) * n - CAST(s AS HUGEINT) * s)
         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
-        |  CAST((s * 10000 * 2 + n) // (n * 2) AS DOUBLE) / 1000000.0
+        |  CAST((CASE WHEN s < 0 THEN -1 ELSE 1 END)
+        |    * ((abs(s) * 10000 * 2 + n) // (n * 2)) AS DOUBLE) / 1000000.0
         |    AS avg_value
         |FROM w JOIN st USING (g)
         |GROUP BY g, n, s ORDER BY event_type""".stripMargin,

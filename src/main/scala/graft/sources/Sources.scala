@@ -115,12 +115,20 @@ object Sources {
     */
   def writeZOrdered(df: DataFrame, out: String, colA: String, colB: String,
     nFiles: Int): Unit = {
-    import org.apache.spark.sql.functions.{col, lit, max => smax, min => smin}
-    val r = df.agg(smin(col(colA)), smax(col(colA)), smin(col(colB)),
-      smax(col(colB))).head()
+    import org.apache.spark.sql.functions.{col, max => smax, min => smin}
+    // cast to long in the aggregate so IntegerType/ShortType keys work
+    val r = df.agg(smin(col(colA).cast("long")), smax(col(colA).cast("long")),
+      smin(col(colB).cast("long")), smax(col(colB).cast("long"))).head()
+    if (r.isNullAt(0)) { // empty input: nothing to order, write as-is
+      df.write.mode(SaveMode.Overwrite).parquet(out)
+      return
+    }
+    // quantize through DOUBLE: (c-lo)*65535 in long arithmetic would
+    // overflow for spans beyond ~1.4e14 (epoch-nanos keys); the layout
+    // key only needs monotonicity, not exactness, so double is right
     def q(c: String, lo: Long, hi: Long): String = {
       val span = math.max(1L, hi - lo)
-      s"CAST(((`$c` - ${lo}L) * 65535L) DIV ${span}L AS BIGINT)"
+      s"CAST((CAST(`$c` AS DOUBLE) - ${lo}.0D) * 65535.0D / ${span}.0D AS BIGINT)"
     }
     val qa = q(colA, r.getLong(0), r.getLong(1))
     val qb = q(colB, r.getLong(2), r.getLong(3))

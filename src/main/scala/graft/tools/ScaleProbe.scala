@@ -179,16 +179,21 @@ object ScaleProbe {
     // constant, total work linear in k. (Same-label replication would
     // grow occupancy ×k and the within-cluster quadratic ×k² — that is
     // the cluster-granularity knob SCALE.md documents, not the design.)
-    def scaledEmbClusters(k: Int): DataFrame = {
+    // `stride` is the vec_id offset between replicas: the embeddings'
+    // own count for the standalone probes, the DOCUMENTS count when
+    // pairing with a replicated corpus (doc replica i spans
+    // [i·n_docs, …), so its embeddings must too — with any other
+    // stride the curate semi-joins would silently discard replicas).
+    def scaledEmbClusters(k: Int, stride: Long): DataFrame = {
       val base = graft.Tables.embeddings(spark, sfDir)
-      val n = base.count()
       (0 until k).map { i =>
-        base.withColumn("vec_id", col("vec_id") + lit(i * n))
+        base.withColumn("vec_id", col("vec_id") + lit(i * stride))
           .withColumn("label", col("label") + lit(i * 10))
       }.reduce(_ union _).repartition(cpus.toInt)
     }
+    val nBaseEmb2 = graft.Tables.embeddings(spark, sfDir).count()
     Seq(1, 4, 10).foreach { k =>
-      val e = scaledEmbClusters(k).cache()
+      val e = scaledEmbClusters(k, nBaseEmb2).cache()
       e.count()
       time(s"semantic dedup ${k}x")(
         graft.ops.Embed.semanticDedup(e, graft.ops.Embed.SemanticTau)
@@ -201,10 +206,11 @@ object ScaleProbe {
     // Text/curation lanes: narrow passes + bounded-key aggregates —
     // must be linear. Curate pairs the k× corpus with the k×-cluster
     // embeddings frame (doc_id and vec_id offsets aligned).
+    val nBaseDocs = graft.Tables.documents(spark, sfDir).count()
     Seq(1, 4, 10).foreach { k =>
       val d = scaled(k).cache()
       d.count()
-      val e = scaledEmbClusters(k).cache()
+      val e = scaledEmbClusters(k, nBaseDocs).cache()
       e.count()
       time(s"unigram lm ${k}x")(
         graft.ops.Text2.unigramLmScores(d).count())

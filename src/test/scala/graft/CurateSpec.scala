@@ -16,16 +16,14 @@ class CurateSpec extends SparkTestBase {
     val docs = Tables.documents(spark, sfDir)
     val q = graft.ops.Text.qualityOf(docs).filter(col("keep"))
       .select("doc_id")
-    val x = docs.withColumn("fp",
-        md5(regexp_replace(lower(col("text")), "[^a-z0-9]", "")
-          .cast("binary")))
+    val x = docs.withColumn("fp", graft.ops.Dedup.exactFp(col("text")))
       .groupBy("fp").agg(min(col("doc_id")).as("doc_id")).select("doc_id")
     val s = Embed.semanticDedup(Tables.embeddings(spark, sfDir),
         Embed.SemanticTau)
-      .filter(col("kept")).select(col("vec_id").as("doc_id"))
+      .filter(!col("kept")).select(col("vec_id").as("doc_id"))
     val want = docs.join(q, Seq("doc_id"), "left_semi")
       .join(x, Seq("doc_id"), "left_semi")
-      .join(s, Seq("doc_id"), "left_semi").count()
+      .join(s, Seq("doc_id"), "left_anti").count()
     assert(total == want && total > 0)
     // train must dominate under the 90/5/5 rule
     val byS = audit.map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -34,4 +34,13 @@ class FuzzySpec extends SparkTestBase {
       .map(r => (r.getString(0), r.getString(1), r.getInt(2)))
     assert(got.toList == List(("spark engine", "spark enjine", 1)))
   }
+
+  test("short strings below the gram guarantee still pair (rescue path)") {
+    import spark.implicits._
+    // 'ab' vs 'ba': distance 2, but the padded 3-gram sets are disjoint
+    val df = Seq("ab", "ba", "unrelated words").toDF("name")
+    val got = Fuzzy.fuzzySelfJoin(df, 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    assert(got.toList == List(("ab", "ba", 2)))
+  }
 }

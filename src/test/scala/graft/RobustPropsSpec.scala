@@ -54,6 +54,21 @@ class RobustPropsSpec extends SparkTestBase {
     }
   }
 
+  test("zscore avg_value: micro-rounding matches HALF_UP on negative sums too") {
+    import spark.implicits._
+    val negGen = Gen.choose(-500000L, 500000L).map(c => BigDecimal(c) / 100)
+    val data = Gen.listOfN(200, negGen).sample.getOrElse(Nil)
+      .map(_.setScale(2))
+    assert(data.nonEmpty)
+    val df = data.map(v => ("g", v.toDouble)).toDF("g", "v")
+    val got = graft.ops.Robust.zscoreOutliers(df, col("g"), col("v"))
+      .collect().head.getDouble(3)
+    val micro = (BigDecimal(data.sum.toString) * 1000000 / data.length)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP)
+    assert(got == (micro / 1000000).toDouble,
+      s"got $got want ${(micro / 1000000).toDouble}")
+  }
+
   test("zscore: integer predicate equals double predicate on random data") {
     import spark.implicits._
     val data = Gen.listOfN(2, groupGen).sample.getOrElse(Nil)
