@@ -158,6 +158,7 @@ object SparkEntry {
     "q_negative_sample" -> (graft.ops.Embed.qNegativeSample _),
     "q_corpus_curate" -> (graft.ops.Curate.qCorpusCurate _),
     "q_fuzzy_join" -> (graft.ops.Fuzzy.qFuzzyJoin _),
+    "q_fuzzy_join_capped" -> (graft.ops.Fuzzy.qFuzzyJoinCapped _),
     // event-time (events)
     "q_event_tumbling" -> (Events.qEventTumbling _),
     "q_event_sessions" -> (Events.qEventSessions _),

@@ -93,6 +93,41 @@ object GraftFunctions {
   private val info = new ExpressionInfo(
     classOf[CosineSimilarity].getCanonicalName, "cosine_sim")
 
+  /** Spark ships `BloomFilterAggregate` / `BloomFilterMightContain`
+    * (the build and probe its own runtime row-level filtering plans)
+    * but keeps both OUT of the public function registry — so expose
+    * them here under Spark's internal names for a fully codegen
+    * bloom-semi-join prefilter ([[graft.ops.Pipeline.bloomPrefilter]]).
+    */
+  val bloomAggBuilder: Seq[Expression] => Expression = {
+    case Seq(c, est, bits) =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(c, est, bits)
+    case Seq(c, est) =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(c, est)
+    case Seq(c) =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(c)
+    case other => throw new IllegalArgumentException(
+      s"bloom_filter_agg expects 1-3 arguments, got ${other.size}")
+  }
+
+  val mightContainBuilder: Seq[Expression] => Expression = {
+    case Seq(bf, v) =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(bf, v)
+    case other => throw new IllegalArgumentException(
+      s"might_contain expects 2 arguments, got ${other.size}")
+  }
+
+  private val bloomAggInfo = new ExpressionInfo(
+    classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate]
+      .getCanonicalName, "bloom_filter_agg")
+
+  private val mightContainInfo = new ExpressionInfo(
+    classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]
+      .getCanonicalName, "might_contain")
+
   /** Idempotent imperative registration on an existing session. */
   def ensureRegistered(spark: SparkSession): Unit = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
@@ -100,6 +135,12 @@ object GraftFunctions {
     val id = FunctionIdentifier("cosine_sim")
     if (!registry.functionExists(id))
       registry.registerFunction(id, info, cosineSimBuilder)
+    val mcId = FunctionIdentifier("might_contain")
+    if (!registry.functionExists(mcId))
+      registry.registerFunction(mcId, mightContainInfo, mightContainBuilder)
+    val bfId = FunctionIdentifier("bloom_filter_agg")
+    if (!registry.functionExists(bfId))
+      registry.registerFunction(bfId, bloomAggInfo, bloomAggBuilder)
   }
 }
 
@@ -109,6 +150,16 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getCanonicalName, "cosine_sim"),
       GraftFunctions.cosineSimBuilder))
+    ext.injectFunction((FunctionIdentifier("might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]
+          .getCanonicalName, "might_contain"),
+      GraftFunctions.mightContainBuilder))
+    ext.injectFunction((FunctionIdentifier("bloom_filter_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate]
+          .getCanonicalName, "bloom_filter_agg"),
+      GraftFunctions.bloomAggBuilder))
     ext.injectOptimizerRule(_ => graft.plans.CollapseRedundantRound)
     ext.injectOptimizerRule(_ => graft.plans.RewriteAsOfJoin)
   }

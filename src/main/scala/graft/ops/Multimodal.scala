@@ -4,30 +4,34 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: opaque binary payloads + typed metadata,
-  * with a feature-extraction stage over `mapPartitions`.
+  * with decode / feature-extract / resize stages over `mapPartitions`.
   *
-  * The container has no image/audio codecs, so the *decode* step is a
-  * clearly-marked deterministic STUB (see [[FakeDecoder]]); everything
-  * Spark-side — binary columns in parquet, metadata structs, batch shape,
-  * per-partition extraction, schema of the feature output — is real. A
-  * production decoder (JNI/ONNX/whatever) replaces ONE function body
-  * without touching the pipeline.
+  * The decode is REAL: payloads are genuine binary P6 PPM images and
+  * [[Ppm.decode]] is a full netpbm-spec parser (header tokens, comment
+  * handling, raw RGB plane) — the feature and resize queries compute
+  * over genuinely decoded pixels, and a parser bug breaks their oracle
+  * hashes. The container ships no image corpus, so the images
+  * themselves are deterministically GENERATED from the documents table
+  * (dimensions and pixel bytes are integer formulas over doc_id and
+  * the text bytes) — which is exactly what makes the decoded-pixel
+  * oracles possible: DuckDB replays the pixel formula arithmetically,
+  * Spark must round-trip it through encode → parse → decode to match.
   *
-  * Scale: binary payloads ride the same columnar scan as everything else;
-  * feature extraction is mapPartitions (no shuffle), so it parallelizes
-  * per input split, and the feature table writes back partitioned by the
-  * metadata columns for pruning.
+  * Scale: binary payloads ride the same columnar scan as everything
+  * else; decode/extract is mapPartitions (no shuffle), parallel per
+  * input split, with per-partition init where a real codec would load
+  * its tables; output per row is bounded regardless of payload size.
   */
 object Multimodal {
 
-  final case class MediaRow(doc_id: Long, payload: Array[Byte],
-    lang: String, n_chars: Long)
-  final case class MediaFeatures(doc_id: Long, byte_len: Long,
-    byte_sum_mod: Long, head_hex: String, feat: Array[Float])
+  final case class MediaRow(doc_id: Long, payload: Array[Byte])
+  final case class ImageFeatures(doc_id: Long, w: Long, h: Long,
+    sum_r: Long, sum_g: Long, sum_b: Long)
 
-  /** documents → (doc_id, payload BINARY, meta struct). In production the
-    * payload column would hold encoded image/audio bytes read from parquet;
-    * here the utf-8 text bytes stand in, exercising the identical plumbing.
+  /** documents → (doc_id, payload BINARY, meta struct). The payload
+    * holds utf-8 text bytes standing in for opaque media bytes —
+    * metadata/frame plumbing queries (`q_mm_meta`, `q_mm_frames`) run
+    * on this; the decoded-pixel queries use [[imagesOf]].
     */
   def binarize(spark: SparkSession, dir: String): DataFrame = {
     graft.Tables.documentsSpread(spark, dir)
@@ -35,56 +39,49 @@ object Multimodal {
         struct(col("lang"), col("n_chars"), col("source")).as("meta"))
   }
 
-  /** STUB decoder: a real implementation would decode the payload
-    * (image/audio) and emit model features. This fake derives
-    * deterministic pseudo-features from the raw bytes so the pipeline is
-    * testable end-to-end. Replace the body, keep the signature.
+  /** One deterministic P6 image per document. Dimensions vary per doc
+    * (w ∈ 8..16, h ∈ 6..10); sample byte i of the row-major RGB plane
+    * is `(doc_id·131 + i·7 + text[i mod len]) mod 256`. Every term is
+    * plain integer arithmetic over table columns, so the ORACLE can
+    * compute any decoded-pixel statistic without decoding — while the
+    * Spark side must actually parse the encoded payload to get it.
     */
-  object FakeDecoder {
-    def features(payload: Array[Byte], dim: Int = 8): Array[Float] = {
-      // ??? <- real decode (e.g. JPEG -> pixels -> CNN features) goes here
-      val out = new Array[Float](dim)
-      var i = 0
-      while (i < payload.length) {
-        out(i % dim) += (payload(i) & 0xff) / 255.0f
-        i += 1
-      }
-      out
-    }
-
-    /** STUB resize: deterministic down-sample of the payload to `target`
-      * bytes by striding (a real implementation resizes decoded pixels;
-      * the batch shape — bounded output per row regardless of input
-      * size — is what matters to the pipeline).
-      */
-    def resize(payload: Array[Byte], target: Int = 64): Array[Byte] = {
-      if (payload.length <= target) payload
-      else {
-        val stride = payload.length.toDouble / target
-        Array.tabulate(target)(i => payload((i * stride).toInt))
-      }
-    }
-  }
-
-  /** Per-partition feature extraction over the binary payloads — the
-    * mapPartitions batch shape a GPU/codec UDF would use (amortized
-    * per-partition init, streaming iterator, no per-row setup).
-    */
-  def extractFeatures(spark: SparkSession, dir: String): Dataset[MediaFeatures] = {
+  def imagesOf(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    binarize(spark, dir)
-      .select(col("doc_id"), col("payload"),
-        col("meta.lang").as("lang"), col("meta.n_chars").as("n_chars"))
-      .as[MediaRow]
+    graft.Tables.documentsSpread(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { rows =>
-        // per-partition init of the (stub) decoder happens once here
-        rows.map { r =>
-          val f = FakeDecoder.features(r.payload)
-          val sum = r.payload.foldLeft(0L)((a, b) => a + (b & 0xff))
-          MediaFeatures(r.doc_id, r.payload.length.toLong, sum % 997,
-            r.payload.take(4).map(b => f"${b & 0xff}%02x").mkString, f)
+        rows.map { case (id, text) =>
+          val tb = text.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+          val w = (8 + id % 9).toInt
+          val h = (6 + id % 5).toInt
+          val px = new Array[Byte](w * h * 3)
+          var i = 0
+          while (i < px.length) {
+            px(i) = ((id * 131 + i.toLong * 7 + (tb(i % tb.length) & 0xff))
+              % 256).toByte
+            i += 1
+          }
+          MediaRow(id, Ppm.encode(w, h, px))
         }
       }
+  }
+
+  /** Per-partition decode + feature extraction over encoded images —
+    * the mapPartitions batch shape a GPU/codec stage uses (amortized
+    * per-partition init, streaming iterator). Features are per-channel
+    * integer pixel sums: exact, order-free, oracle-replayable.
+    */
+  def extractFeatures(spark: SparkSession, dir: String): Dataset[ImageFeatures] = {
+    import spark.implicits._
+    imagesOf(spark, dir).mapPartitions { rows =>
+      // per-partition decoder init would go here (codec tables etc.)
+      rows.map { r =>
+        val img = Ppm.decode(r.payload)
+        val (sr, sg, sb) = img.channelSums
+        ImageFeatures(r.doc_id, img.w.toLong, img.h.toLong, sr, sg, sb)
+      }
+    }
   }
 
   /** Oracle-checkable metadata slice of the multimodal pipeline: byte
@@ -100,47 +97,45 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  /** Feature extraction as a driver-checkable query. The mapPartitions
-    * output columns are integer byte arithmetic on the payload, so the
-    * oracle replays them in SQL (ASCII corpus: ascii(char) == byte);
-    * the float feature vector itself stays spec-asserted.
+  /** Decoded-pixel features as a driver-checkable query: the DuckDB
+    * twin evaluates the generator formula directly; this side has to
+    * parse the P6 header and walk the decoded plane to agree.
     */
   def qMmFeatures(spark: SparkSession, dir: String): DataFrame = {
     extractFeatures(spark, dir)
-      .select(col("doc_id"), col("byte_len"), col("byte_sum_mod"),
-        col("head_hex"))
+      .select(col("doc_id"), col("w"), col("h"),
+        col("sum_r"), col("sum_g"), col("sum_b"))
       .orderBy("doc_id")
   }
 
-  /** Resize through the mapPartitions pipeline: every payload strided
-    * down to ≤64 bytes (identity when already smaller), digest emitted —
-    * bounded output per row regardless of input size, the shape a real
-    * image-resize stage has. The stride arithmetic (one double division,
-    * then per-index multiply+floor) is replayed exactly by the oracle on
-    * the ASCII bytes.
+  /** Real pixel-space resize through the decode pipeline: every image
+    * decoded and nearest-neighbor resampled to 4×4 (bounded output per
+    * row regardless of input dimensions — the shape a real image-resize
+    * stage has). Emits spot samples plus the full resized-plane sum,
+    * all integer, all replayed by the oracle from the generator
+    * formula + the same floor-resampling arithmetic.
     */
   def qMmResize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    binarize(spark, dir)
-      .select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+    imagesOf(spark, dir)
       .mapPartitions { rows =>
-        // per-partition decoder/digest init, as a real codec stage would
-        val md = java.security.MessageDigest.getInstance("MD5")
-        rows.map { case (id, p) =>
-          val r = FakeDecoder.resize(p, 64)
-          md.reset()
-          (id, r.length.toLong, md.digest(r).map(b => f"$b%02x").mkString)
+        rows.map { r =>
+          val img = Ppm.decode(r.payload).resize(4, 4)
+          val (sr, sg, sb) = img.channelSums
+          (r.doc_id, img.sample(0, 0, 0).toLong, img.sample(3, 1, 1).toLong,
+            img.sample(2, 3, 2).toLong, sr + sg + sb)
         }
       }
-      .toDF("doc_id", "resized_len", "resized_md5")
+      .toDF("doc_id", "p00_r", "p31_g", "p23_b", "px_sum")
       .orderBy("doc_id")
   }
 
   /** Frame sampling over the binary payload: fixed 256-byte "frames",
     * stride-4 sampling (every 4th frame) — the video-frame-sample batch
-    * shape with the decode stubbed as byte-slicing. The slicing itself is
-    * real (`substring` on BINARY), so frame counts and the digest of the
-    * first sampled frame are oracle-checkable on the same bytes.
+    * shape with byte-slicing standing in for the frame split. The
+    * slicing itself is real (`substring` on BINARY), so frame counts and
+    * the digest of the first sampled frame are oracle-checkable on the
+    * same bytes.
     */
   def qMmFrames(spark: SparkSession, dir: String): DataFrame = {
     graft.Tables.documentsSpread(spark, dir)
@@ -154,6 +149,11 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** The generator formula for sample byte `i`, as DuckDB SQL. */
+  private def pxSql(i: String): String =
+    s"(doc_id * 131 + ($i) * 7 + ascii(substring(text, " +
+      s"CAST(($i) % length(text) AS INT) + 1, 1))) % 256"
+
   val oracles: Map[String, String] = Map(
     // DuckDB substring() has no BLOB overload; the corpus is ASCII
     // (byte_len == n_chars, MultimodalSpec), so char slices == byte slices
@@ -165,23 +165,40 @@ object Multimodal {
         |        octet_length(encode(text)) // 256 AS n_frames
         |      FROM documents)
         |WHERE n_frames > 0 ORDER BY doc_id""".stripMargin,
+    // per-channel sums over the generated plane: channel c lives at
+    // byte indices 3p + c of pixel p
     "q_mm_features" ->
-      """SELECT doc_id,
-        |  octet_length(encode(text)) AS byte_len,
-        |  CAST(CAST(list_sum(list_transform(range(1, length(text)+1),
-        |    i -> ascii(substring(text, i, 1)))) AS BIGINT) % 997 AS BIGINT)
-        |    AS byte_sum_mod,
-        |  lower(hex(substring(text, 1, 4))) AS head_hex
-        |FROM documents ORDER BY doc_id""".stripMargin,
-    "q_mm_resize" ->
-      """SELECT doc_id,
-        |  CAST(least(octet_length(encode(text)), 64) AS BIGINT) AS resized_len,
-        |  md5(CASE WHEN length(text) <= 64 THEN text
-        |       ELSE array_to_string(list_transform(range(0, 64),
-        |         i -> substring(text,
-        |           CAST(floor(i * (length(text) / 64.0)) AS INT) + 1, 1)), '')
-        |       END) AS resized_md5
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""WITH g AS (
+         |  SELECT doc_id, text,
+         |    8 + doc_id % 9 AS w, 6 + doc_id % 5 AS h
+         |  FROM documents)
+         |SELECT doc_id, w, h,
+         |  CAST(list_sum(list_transform(range(0, w * h),
+         |    p -> ${pxSql("p * 3")})) AS BIGINT) AS sum_r,
+         |  CAST(list_sum(list_transform(range(0, w * h),
+         |    p -> ${pxSql("p * 3 + 1")})) AS BIGINT) AS sum_g,
+         |  CAST(list_sum(list_transform(range(0, w * h),
+         |    p -> ${pxSql("p * 3 + 2")})) AS BIGINT) AS sum_b
+         |FROM g ORDER BY doc_id""".stripMargin,
+    // nearest-neighbor 4x4: output (x, y) channel c reads source byte
+    // ((y*h//4)*w + (x*w//4))*3 + c; k enumerates the 48 output bytes
+    // as k = (y*4 + x)*3 + c
+    "q_mm_resize" -> {
+      def srcIdx(x: String, y: String, c: String): String =
+        s"((($y) * h // 4) * w + (($x) * w // 4)) * 3 + ($c)"
+      s"""WITH g AS (
+         |  SELECT doc_id, text,
+         |    8 + doc_id % 9 AS w, 6 + doc_id % 5 AS h
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(${pxSql(srcIdx("0", "0", "0"))} AS BIGINT) AS p00_r,
+         |  CAST(${pxSql(srcIdx("3", "1", "1"))} AS BIGINT) AS p31_g,
+         |  CAST(${pxSql(srcIdx("2", "3", "2"))} AS BIGINT) AS p23_b,
+         |  CAST(list_sum(list_transform(range(0, 48), k ->
+         |    ${pxSql(srcIdx("(k // 3) % 4", "k // 12", "k % 3"))}))
+         |    AS BIGINT) AS px_sum
+         |FROM g ORDER BY doc_id""".stripMargin
+    },
     "q_mm_meta" ->
       """SELECT doc_id,
         |  octet_length(encode(text)) AS byte_len,

@@ -224,16 +224,33 @@ object Pipeline {
   }
 
   /** Filter `fact` to rows whose `factKey` might appear in `dim`'s
-    * `dimKey` set, via a driver-built broadcast bloom filter
-    * (`expectedKeys` sizes it; 1% fpp). Returns the filtered fact —
-    * compose with the actual join for exact results.
+    * `dimKey` set (`expectedKeys` sizes the filter for ~1% fpp).
+    * Returns the filtered fact — compose with the actual join for
+    * exact results.
+    *
+    * Built entirely from Spark's own runtime-row-level-filtering
+    * expressions, the same shape `InjectRuntimeFilter` plans: the dim
+    * side aggregates `bloom_filter_agg(xxhash64(key))` distributed
+    * (map-side partial filters OR-merged), the one-row binary rides to
+    * the fact side as a foldable literal, and the probe is the native
+    * `BloomFilterMightContain` — a codegen'd predicate, so the fact
+    * scan + filter stay inside one whole-stage-codegen span
+    * (`PlanSpec` pins this) with no closure serialization and no UDF
+    * black box blocking later pushdown. xxhash64 on BOTH sides keeps
+    * build and probe hashing identical for any key type.
     */
   def bloomPrefilter(fact: DataFrame, factKey: String,
     dim: DataFrame, dimKey: String, expectedKeys: Long): DataFrame = {
-    val bf = dim.stat.bloomFilter(dimKey, expectedKeys, 0.01)
-    val bfB = fact.sparkSession.sparkContext.broadcast(bf)
-    val might = udf((k: Long) => bfB.value.mightContain(k))
-    fact.filter(might(col(factKey)))
+    graft.functions.GraftFunctions.ensureRegistered(fact.sparkSession)
+    // optimal bits for 1% fpp: m = -n ln p / (ln 2)^2 = 9.585 n
+    val numBits = math.max(64L, math.ceil(expectedKeys * 9.585).toLong)
+    val bf = dim
+      .select(expr(s"bloom_filter_agg(xxhash64($dimKey), " +
+        s"CAST($expectedKeys AS BIGINT), CAST($numBits AS BIGINT))").as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    if (bf == null) fact.filter(lit(false)) // empty dim: nothing can match
+    else fact.filter(call_function("might_contain", lit(bf),
+      xxhash64(col(factKey))))
   }
 
   val oracles: Map[String, String] = Map(

@@ -203,6 +203,48 @@ object ScaleProbe {
       e.unpersist()
     }
 
+    // Fuzzy-join candidate growth under the padding-gram skew. Probe
+    // corpus = "shared heads + diverse tails": replica (i, j) name is
+    // the first word of a part name (tiny vocabulary — every head gram
+    // goes hot as k grows, exactly the '##x' skew the df-cap targets)
+    // plus an md5-hex tail (diverse — cold grams). One planted 1-edit
+    // near-dup per (head, replica) gives a nonzero answer whose
+    // equality across capped/uncapped is the losslessness check, timed
+    // live at every k. Expected: uncapped candidates grow ~k² (head
+    // buckets), capped stays near-linear (hex-tail collisions only).
+    def fuzzyNames(k: Int): DataFrame = {
+      val heads = graft.Tables.part(spark, sfDir)
+        .select(split(col("p_name"), " ").getItem(0).as("w")).distinct()
+      val n = (0 until k).map { i =>
+        heads.select(col("w"), explode(sequence(lit(0), lit(99))).as("j"))
+          .select(concat(col("w"), lit(" "),
+            substring(md5(concat(col("w"), lit(s"-$i-"),
+              col("j").cast("string"))), 1, 8))
+            .as("name"))
+      }.reduce(_ union _)
+      val planted = (0 until k).map { i =>
+        heads.select(concat(col("w"), lit(" "),
+          substring(md5(concat(col("w"), lit(s"-$i-0"))), 1, 7), lit("z"))
+          .as("name"))
+      }.reduce(_ union _)
+      n.union(planted).repartition(cpus.toInt)
+    }
+    Seq(1, 4, 10).foreach { k =>
+      val nm = fuzzyNames(k).cache()
+      nm.count()
+      // candidate counts are what the cap bounds (the Levenshtein work)
+      time(s"fuzzy cand uncapped ${k}x")(
+        graft.ops.Fuzzy.fuzzyCandidates(nm, 2).count())
+      time(s"fuzzy cand cap240 ${k}x")(
+        graft.ops.Fuzzy.fuzzyCandidates(nm, 2, dfCap = 240).count())
+      // losslessness live: the verified pairs must be identical
+      val exact = graft.ops.Fuzzy.fuzzySelfJoin(nm, 2).count()
+      val capped = graft.ops.Fuzzy.fuzzySelfJoin(nm, 2, dfCap = 240).count()
+      require(capped == exact,
+        s"df-cap lost pairs at ${k}x: $capped != $exact")
+      nm.unpersist()
+    }
+
     // Text/curation lanes: narrow passes + bounded-key aggregates —
     // must be linear. Curate pairs the k× corpus with the k×-cluster
     // embeddings frame (doc_id and vec_id offsets aligned).

@@ -43,4 +43,34 @@ class FuzzySpec extends SparkTestBase {
       .map(r => (r.getString(0), r.getString(1), r.getInt(2)))
     assert(got.toList == List(("ab", "ba", 2)))
   }
+
+  test("df-cap is lossless: capped result equals uncapped on part names") {
+    val names = Tables.part(spark, sfDir).select(col("p_name").as("name"))
+    def run(cap: Long) = Fuzzy.fuzzySelfJoin(names, 2, dfCap = cap).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    val exact = run(Long.MaxValue)
+    assert(exact.nonEmpty)
+    // gate cap (8): fires on the hottest grams, all names stay safe
+    assert(run(Fuzzy.FuzzyDfCap) == exact)
+    // adversarial cap (2): most grams hot, names go unsafe -> rescue;
+    // the result must STILL be identical (rescue is exhaustive)
+    assert(run(2L) == exact)
+  }
+
+  test("df-cap keeps planted pairs that share only boilerplate heads") {
+    import spark.implicits._
+    // every name starts with the same hot head 'common prefix '; the
+    // planted pair differs by one tail char. With cap = 3 the head
+    // grams (df = 12) are all hot, so the pair can only survive via
+    // cold tail grams or the unsafe rescue — either way it must appear.
+    val tails = (0 until 10).map(i => f"common prefix aa$i%02d")
+    val df = (tails ++ Seq("common prefix zz99", "common prefix zz98"))
+      .toDF("name")
+    val got = Fuzzy.fuzzySelfJoin(df, 2, dfCap = 3L).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    val brute = Fuzzy.fuzzySelfJoin(df, 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(got == brute)
+    assert(got.contains(("common prefix zz98", "common prefix zz99", 1)))
+  }
 }

@@ -106,6 +106,19 @@ class PlanSpec extends SparkTestBase {
       s"no partial object aggregation:\n${p.take(1500)}")
   }
 
+  test("bloom prefilter probe is codegen'd on the fact scan") {
+    // the probe must be the native BloomFilterMightContain predicate
+    // INSIDE a whole-stage-codegen span ("*(n) Filter ... might_contain")
+    // — a Scala-UDF probe would print as a bare Filter with
+    // BatchEvalPython/invoke glue and break the span right where the
+    // operator is supposed to be cheap
+    val p = plan(graft.ops.Pipeline.qBloomJoin(spark, sfDir))
+    assert(p.contains("might_contain"),
+      s"bloom probe expression missing from the plan:\n${p.take(1500)}")
+    assert("""\*\(\d+\) Filter [^\n]*might_contain""".r.findFirstIn(p).isDefined,
+      s"bloom probe filter not inside whole-stage codegen:\n${p.take(2000)}")
+  }
+
   test("pagerank iteration: ranks broadcast, edge list never shuffles") {
     val p = plan(graft.ops.Graph.qGraphPagerank(spark, sfDir))
     assert(p.contains("BroadcastHashJoin"),
