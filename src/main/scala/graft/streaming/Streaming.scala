@@ -464,39 +464,64 @@ object Streaming {
     if (stagedDirs.add(s"$dir->$stage"))
       graft.Tables.events(spark, dir).repartition(4)
         .write.mode("overwrite").parquet(stage)
+    val run = runSeq.incrementAndGet()
     val target = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_stream_upsert_${runSeq.incrementAndGet()}").getAbsolutePath
-    @volatile var version = 0 // foreachBatch bodies run on the driver
+      s"graft_stream_upsert_$run").getAbsolutePath
+    val ckpt = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_stream_upsert_ckpt_$run").getAbsolutePath
+    @volatile var lastBatch = -1L // foreachBatch bodies run on the driver
     val q = spark.readStream.schema(eventSchema)
       .option("maxFilesPerTrigger", "1").parquet(stage)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val latest = batch.groupBy(col("user_id"))
-          .agg(count(lit(1)).as("n_events"),
-            max(struct(col("ts"), col("event_id"), col("event_type"),
-              col("value"))).as("last"))
-        val merged =
-          if (version == 0) latest
-          else spark.read.parquet(s"$target/v$version").as("c")
-            .join(latest.as("n"), Seq("user_id"), "full_outer")
-            .select(col("user_id"),
-              (coalesce(col("c.n_events"), lit(0L))
-                + coalesce(col("n.n_events"), lit(0L))).as("n_events"),
-              when(col("c.last").isNull, col("n.last"))
-                .when(col("n.last").isNull, col("c.last"))
-                .when(col("n.last") > col("c.last"), col("n.last"))
-                .otherwise(col("c.last")).as("last"))
-        merged.write.mode("overwrite").parquet(s"$target/v${version + 1}")
-        version += 1
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        upsertMergeBatch(spark, batch, target, batchId)
+        lastBatch = math.max(lastBatch, batchId)
       }
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.read.parquet(s"$target/v$version")
+    readUpsertStore(spark, target, lastBatch)
+  }
+
+  /** One micro-batch of the CDC merge: reduce the batch to latest-wins
+    * per key, full-outer-merge with store version `batchId − 1`, write
+    * version `batchId`. Versions are keyed by the MICRO-BATCH ID, so
+    * the function is pure in (store, batchId): re-running a batch after
+    * a crash rewrites the identical v(batchId). Together with the
+    * checkpointed source offsets (the WAL pins each batch's exact file
+    * set before processing), that idempotence turns foreachBatch's
+    * at-least-once redelivery into an exactly-once sink across
+    * kill/resume — `StreamingSpec` proves it by crashing the query
+    * mid-batch and reconciling the resumed output with the oracle.
+    */
+  def upsertMergeBatch(spark: SparkSession, batch: DataFrame,
+    target: String, batchId: Long): Unit = {
+    val latest = batch.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        max(struct(col("ts"), col("event_id"), col("event_type"),
+          col("value"))).as("last"))
+    val merged =
+      if (batchId == 0L) latest
+      else spark.read.parquet(s"$target/v${batchId - 1}").as("c")
+        .join(latest.as("n"), Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          (coalesce(col("c.n_events"), lit(0L))
+            + coalesce(col("n.n_events"), lit(0L))).as("n_events"),
+          when(col("c.last").isNull, col("n.last"))
+            .when(col("n.last").isNull, col("c.last"))
+            .when(col("n.last") > col("c.last"), col("n.last"))
+            .otherwise(col("c.last")).as("last"))
+    merged.write.mode("overwrite").parquet(s"$target/v$batchId")
+  }
+
+  /** The materialized store after batch `lastBatch`, in gate shape. */
+  def readUpsertStore(spark: SparkSession, target: String,
+    lastBatch: Long): DataFrame =
+    spark.read.parquet(s"$target/v$lastBatch")
       .select(col("user_id"), col("n_events"),
         col("last.event_type").as("last_type"),
         col("last.value").as("last_value"))
       .orderBy("user_id")
-  }
 
   /** Stream-static enrichment join — the lookup-table pattern every
     * event feed runs: the stream joins a STATIC dimension (customers)

@@ -139,6 +139,74 @@ class StreamingSpec extends SparkTestBase {
       "resume must process exactly the newly arrived files")
   }
 
+  test("upsert killed mid-stream resumes from checkpoint exactly-once") {
+    import org.apache.spark.sql.functions._
+    import scala.jdk.CollectionConverters._
+    // own landing zone (4 files -> 4 micro-batches), checkpoint, store
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft-crash-stage").toString
+    graft.Tables.events(spark, sfDir).repartition(4)
+      .write.mode("overwrite").parquet(stage)
+    val target = java.nio.file.Files
+      .createTempDirectory("graft-crash-store").toString + "/store"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-crash-ckpt").toString
+    val attempts = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val bomb = new java.util.concurrent.atomic.AtomicBoolean(true)
+    def run(): Long = {
+      var lastBatch = -1L
+      val q = spark.readStream.schema(Streaming.eventSchema)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          attempts.add(id)
+          Streaming.upsertMergeBatch(spark, b, target, id)
+          lastBatch = math.max(lastBatch, id)
+          // crash AFTER the sink write but BEFORE Spark commits the
+          // batch — the worst-case failure point: the work is done but
+          // unacknowledged, so resume MUST redeliver this batch and the
+          // sink must absorb the duplicate
+          if (id == 2L && bomb.getAndSet(false)) sys.error("injected crash")
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      catch {
+        case _: org.apache.spark.sql.streaming.StreamingQueryException => ()
+      } finally if (q.isActive) q.stop()
+      lastBatch
+    }
+    run() // dies inside batch 2
+    assert(attempts.asScala.toList == List(0L, 1L, 2L),
+      "first run must process batches 0..2 then crash")
+    attempts.clear()
+    val last = run() // resume from the checkpoint
+    // source-side exactly-once: committed batches 0 and 1 are never
+    // redelivered; uncommitted batch 2 is (same id, same WAL-pinned
+    // file set) and the batchId-keyed overwrite makes the redo a no-op
+    assert(attempts.asScala.toList == List(2L, 3L),
+      s"resume must replay exactly the uncommitted tail, got $attempts")
+    assert(last == 3L)
+    // the resumed store reconciles with the batch latest-wins answer
+    val got = Streaming.readUpsertStore(spark, target, last).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2), r.getDouble(3)))).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+    val want = graft.Tables.events(spark, sfDir)
+      .withColumn("n_events", count(lit(1)).over(w))
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("n_events"), col("event_type"), col("value"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2), r.getDouble(3)))).toMap
+    assert(got == want,
+      "post-crash store must equal the batch latest-wins oracle")
+  }
+
   test("stream-stream left outer join == batch left join, repeatable") {
     def batchAnswer = {
       val ev = graft.Tables.events(spark, sfDir)
