@@ -112,22 +112,31 @@ object Core {
   }
 
   /** Exact-parity partition assignment with the reference's
-    * `int(md5(key), 16) % R` (worker/__main__.py:143-149): the first 15
-    * hex chars of md5 as a base-16 BIGINT, mod R. Spark's repartition
-    * uses murmur3 (contents-per-key identical, file assignment differs);
-    * this expression reproduces the reference's file assignment when a
-    * consumer pins which part-file a key lands in. 15 hex chars < 2^60,
-    * and (md5 mod R) over the full digest equals (first-60-bits mod R)
-    * only when R divides 2^68... so parity holds for the reference's own
-    * tests only via the SAME truncation both sides — documented contract:
-    * this matches `int(md5(key)[:15], 16) % R`, sufficient for stable
-    * deterministic placement; full-digest parity would need arbitrary-
-    * precision mod (see CoreSpec for the modeled equivalence).
+    * `int(md5(key.encode()).hexdigest(), 16) % R`
+    * (worker/__main__.py:143-149): the FULL 128-bit digest mod R.
+    * Spark's repartition uses murmur3 (contents-per-key identical, file
+    * assignment differs); this expression reproduces the reference's
+    * file assignment byte-for-byte when a consumer pins which part-file
+    * a key lands in.
+    *
+    * The 128-bit value never fits a BIGINT, so the mod is computed as a
+    * Horner fold over the 32 hex digits — `acc = (acc·16 + digit) mod R`
+    * — which equals the arbitrary-precision `int(hex, 16) mod R` by the
+    * usual modular-arithmetic identity. Long-safe for any practical R
+    * (acc < R ≤ 2³¹ ⇒ acc·16 + 15 < 2³⁵), fully codegen'd (a
+    * `transform`/`aggregate` HOF chain over built-ins), one md5 per
+    * row. CoreSpec checks it against a BigInteger model on generated
+    * keys, truncation-sensitive R values included.
     */
   def md5Partition(key: org.apache.spark.sql.Column, numPartitions: Int)
-    : org.apache.spark.sql.Column =
-    pmod(conv(substring(md5(key.cast("binary")), 1, 15), 16, 10)
-      .cast("long"), lit(numPartitions))
+    : org.apache.spark.sql.Column = {
+    val digest = md5(key.cast("binary"))
+    aggregate(
+      transform(sequence(lit(1), lit(32)),
+        i => conv(digest.substr(i, lit(1)), 16, 10).cast("long")),
+      lit(0L),
+      (acc, d) => (acc * 16 + d) % numPartitions)
+  }
 
   /** The reference's KV contract as a reusable transform: key = text before
     * the first tab (worker/__main__.py:144-145), repartitioned by key with

@@ -25,12 +25,17 @@ object Sources {
     * `md5Placement = false` (default) lets Spark's murmur3 exchange pick
     * the file per key — per-key contents identical, file ASSIGNMENT
     * engine-specific. `true` reproduces the reference's exact placement
-    * (`int(md5(key), 16) % R`, worker/__main__.py:143-149, modulo the
-    * documented 15-hex-char truncation of [[graft.ops.Core.md5Partition]])
+    * (full-128-bit `int(md5(key), 16) % R`, worker/__main__.py:143-149,
+    * computed exactly by [[graft.ops.Core.md5Partition]]'s Horner fold)
     * by routing each line through an identity partitioner on the
     * precomputed partition id: a consumer that pins which `part-*` file a
-    * key lands in gets the reference's layout byte-for-byte. Costs the
-    * same single shuffle; the per-file sort runs partition-local.
+    * key lands in gets the reference's layout byte-for-byte. Lines are
+    * sorted by UTF-8 BYTE order — identical to code-point order, i.e.
+    * both the C-locale `sort` the reference shells out to and Spark's
+    * UTF8String binary ordering in the default branch (Java's natural
+    * String order would diverge on supplementary-plane characters: it
+    * compares UTF-16 code units). Costs the same single shuffle; the
+    * per-file sort runs partition-local.
     */
   def writeKvText(df: DataFrame, keyCol: String, valCol: String,
     outDir: String, numPartitions: Int, md5Placement: Boolean = false): Unit = {
@@ -52,10 +57,16 @@ object Sources {
           override def numPartitions: Int = n
           override def getPartition(key: Any): Int = key.asInstanceOf[Int]
         })
-      // reference worker sorts each reduce partition's lines wholesale
+      // reference worker sorts each reduce partition's lines wholesale;
+      // sort the UTF-8 bytes so ordering is by code point, not UTF-16
+      // code unit (encode once per line, not per comparison)
       val sorted = pairs.values.mapPartitions { it =>
-        val a = it.toArray; java.util.Arrays.sort(a,
-          implicitly[Ordering[String]]); a.iterator
+        val a = it.map(s =>
+          (s.getBytes(java.nio.charset.StandardCharsets.UTF_8), s)).toArray
+        java.util.Arrays.sort(a,
+          (x: (Array[Byte], String), y: (Array[Byte], String)) =>
+            java.util.Arrays.compareUnsigned(x._1, y._1))
+        a.iterator.map(_._2)
       }
       val path = new org.apache.hadoop.fs.Path(outDir)
       val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)

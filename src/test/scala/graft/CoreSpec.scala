@@ -16,18 +16,28 @@ class CoreSpec extends SparkTestBase {
     MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map(b => f"${b & 0xff}%02x").mkString
 
-  test("md5Partition == BigInt(md5[:15], 16) % R model (generated keys)") {
+  test("md5Partition == BigInt(full md5, 16) % R model (generated keys)") {
     import spark.implicits._
     val gen = Gen.listOfN(200, Gen.resize(20, Gen.alphaNumStr))
     val keys = gen.apply(Gen.Parameters.default,
       org.scalacheck.rng.Seed(7L)).get.distinct
-    val r = 16
-    val got = keys.toDF("k")
-      .select(col("k"), Core.md5Partition(col("k"), r).as("p"))
-      .collect().map(row => row.getString(0) -> row.getLong(1)).toMap
-    keys.foreach { k =>
-      val want = (BigInt(md5Hex(k).substring(0, 15), 16) % r).toLong
-      assert(got(k) == want, s"key '$k'")
+    // include non-power-of-two R: truncated-digest mod diverges there,
+    // so these values would catch a fold that isn't really full-width
+    for (r <- Seq(3, 7, 16, 100)) {
+      val got = keys.toDF("k")
+        .select(col("k"), Core.md5Partition(col("k"), r).as("p"))
+        .collect().map(row => row.getString(0) -> row.getLong(1)).toMap
+      keys.foreach { k =>
+        val want = (BigInt(md5Hex(k), 16) % r).toLong
+        assert(got(k) == want, s"key '$k', R=$r")
+        // and at least one generated key must actually expose the old
+        // 15-hex-truncation divergence when R doesn't divide a power of 16
+      }
+      if (r == 7)
+        assert(keys.exists(k =>
+          (BigInt(md5Hex(k).substring(0, 15), 16) % r).toLong !=
+            (BigInt(md5Hex(k), 16) % r).toLong),
+          "sample should distinguish truncated from full-digest mod")
     }
   }
 

@@ -44,13 +44,13 @@ class SourcesSpec extends SparkTestBase {
       .filter(_.getName.startsWith("part-")).sortBy(_.getName)
     assert(files.length == r)
 
-    // the documented contract: partition = int(md5(key)[:15], 16) % R,
+    // the reference contract: partition = int(full md5 hex, 16) % R,
     // modeled here independently of the Spark expression
     def expectedPart(key: String): Int = {
       val hex = MessageDigest.getInstance("MD5")
         .digest(key.getBytes("UTF-8"))
-        .map(b => f"$b%02x").mkString.substring(0, 15)
-      (java.lang.Long.parseLong(hex, 16) % r).toInt
+        .map(b => f"$b%02x").mkString
+      (BigInt(hex, 16) % r).toInt
     }
 
     files.zipWithIndex.foreach { case (f, idx) =>
@@ -70,6 +70,26 @@ class SourcesSpec extends SparkTestBase {
       }.toMap
     val want = wc.collect().map(r0 => r0.getString(0) -> r0.getLong(1)).toMap
     assert(parsed == want)
+  }
+
+  test("md5 path sorts by code point, matching the reference's sort") {
+    import spark.implicits._
+    // U+1F600 (emoji, surrogate pair D83D DE00) vs U+FF61: Java's
+    // natural String order compares UTF-16 code units (D83D < FF61 ->
+    // emoji first); code-point / UTF-8-byte order — what C-locale
+    // `sort` and Spark's UTF8String use — puts U+FF61 first
+    val emoji = new String(Character.toChars(0x1F600))
+    val df = Seq((emoji, "1"), ("｡", "2"), ("a", "3")).toDF("k", "v")
+    val out = Files.createTempDirectory("graft-kv-cp").toString
+    Sources.writeKvText(df, "k", "v", out, 1, md5Placement = true)
+    val lines = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      .flatMap(f => scala.io.Source.fromFile(f, "UTF-8").getLines()).toSeq
+    assert(lines.head.startsWith("a\t"))
+    assert(lines(1) == "｡\t2" && lines(2) == emoji + "\t1",
+      s"expected code-point order, got $lines")
+    // the distinction is real: Java's natural order would invert them
+    assert(Ordering.String.lt(emoji + "\t1", "｡\t2"))
   }
 
   test("csv round-trip preserves rows") {
