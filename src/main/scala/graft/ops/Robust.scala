@@ -36,20 +36,41 @@ object Robust {
     zscoreOutliers(Tables.events(spark, dir), col("event_type"),
       col("value"))
 
-  /** [[qEventZscore]] over any frame: group column + 2-decimal value. */
+  /** [[qEventZscore]] over any frame: group column + 2-decimal value.
+    *
+    * Exactness headroom: every product stays within DECIMAL(38,0) as
+    * long as `max|w|·n ≤ 10¹⁸` per group (then q·n ≤ (m·n)² = 10³⁶ and
+    * lhs² ≤ (2·m·n)² = 4·10³⁶, both < 10³⁸; the sums themselves are
+    * DECIMAL, so they never hit the BIGINT ceiling first). Beyond the
+    * bound, ANSI Spark (the 4.x default) would abort with an opaque
+    * overflow mid-pipeline and non-ANSI would silently NULL the
+    * product and DROP rows from the outlier count — so the bound is
+    * enforced per row with `assert_true` on the broadcast (m, n) pair,
+    * evaluated BEFORE the outlier predicate: a group past the headroom
+    * fails with an actionable message instead of under-counting or
+    * pointing at a random multiply. At 10¹⁸ micro-cents·rows (e.g.
+    * 10¹⁰ rows of values up to 10⁶) the restructure is to subtract the
+    * per-group mean before squaring, which shrinks magnitudes by ~n.
+    */
   def zscoreOutliers(df: DataFrame, group: Column, value: Column): DataFrame = {
     val w = df.select(group.as("g"),
       (value.cast(DecimalType(12, 2)) * 100).cast("long").as("w"))
     val d38 = DecimalType(38, 0)
     val stats = w.groupBy("g").agg(
       count(lit(1)).as("n"),
-      sum(col("w")).as("s"),
-      sum(col("w").cast(d38) * col("w")).as("q"))
+      sum(col("w").cast(d38)).as("s"),
+      sum(col("w").cast(d38) * col("w")).as("q"),
+      max(abs(col("w"))).as("m"))
     val lhs = col("w").cast(d38) * col("n") - col("s")
     val rhs = (col("q").cast(d38) * col("n") - col("s").cast(d38) * col("s")) * 4
+    val headroom = lit("1000000000000000000").cast(d38) // 10^18
+    val guarded = isnull(assert_true(
+      col("m").cast(d38) * col("n") <= headroom,
+      lit("zscoreOutliers: max|w|*n exceeds DECIMAL(38) headroom; " +
+        "center values per group before squaring")))
     w.join(broadcast(stats), "g")
       .select(col("g"), col("n"), col("s"),
-        (lhs * lhs > rhs).cast("int").as("is_out"))
+        (guarded && (lhs * lhs > rhs)).cast("int").as("is_out"))
       .groupBy(col("g").as("event_type"))
       .agg(first(col("n")).as("n_events"),
         sum(col("is_out")).as("n_outliers"),

@@ -102,6 +102,18 @@ object Sim2 {
 
   /** Batch IVF over any embeddings frame (needs `label` for the
     * deterministic codebook); rows matching `queryPred` are the queries.
+    *
+    * PARALLELISM FLOOR: the scoring join keys on the inverted-list id,
+    * so its shuffle parallelism is capped at the list cardinality and a
+    * hot list funnels into one task. That is fine precisely because a
+    * real IVF sizes its codebook with the corpus (~√n lists — at 10⁹
+    * vectors, ~30 k lists ≫ any cluster's task slots); this gate's
+    * fixed label codebook (~10 lists) would be the wrong deployment
+    * geometry, not a different join. If list sizes are skewed anyway
+    * (they will be — natural clusters are Zipfian), salt the hot lists
+    * exactly as the salted-join lane does: replicate each hot list's
+    * queries over `s` salt values and append `pmod(hash(vec_id), s)`
+    * to the corpus side's key.
     */
   def batchIvfOf(emb: DataFrame, queryPred: String,
     nprobe: Int, k: Int): DataFrame = {

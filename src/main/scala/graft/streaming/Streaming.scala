@@ -397,7 +397,21 @@ object Streaming {
     * sort inside the state function then fixes intra-batch order);
     * Update-mode memory output is reduced with max_by(n_events) to keep
     * the final state per user if the source ever splits into several
-    * batches. Hash-checked against the batch sessionization SQL.
+    * batches.
+    *
+    * VALIDITY BOUND of that reduce: it assumes a user's (sessions,
+    * events) counters are non-decreasing across the emitted rows —
+    * true whenever no event-time TIMEOUT fires mid-stream for a user
+    * who later returns (the timeout emission removes state, and a
+    * comeback restarts the counters at zero, so no single row would
+    * carry the lifetime totals). Here that holds structurally: the
+    * whole staged zone is consumed under AvailableNow, so the
+    * watermark only reaches eviction territory at stream end. A
+    * continuous deployment wanting lifetime totals should sum the
+    * per-emission DELTAS downstream (or keep cumulative counters in
+    * state and not reset on timeout re-creation, trading bounded state
+    * for exact lifetime counts). Hash-checked against the batch
+    * sessionization SQL.
     */
   def qStreamSessions(spark: SparkSession, dir: String): DataFrame = {
     val stage = new java.io.File(sys.props("java.io.tmpdir"),

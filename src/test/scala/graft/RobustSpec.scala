@@ -34,6 +34,24 @@ class RobustSpec extends SparkTestBase {
     }
   }
 
+  test("zscore fails loudly past the DECIMAL(38) headroom, not silently") {
+    import spark.implicits._
+    // max|w|*n = 10^12 * 2*10^7 = 2*10^19 > 10^18: without the guard,
+    // non-ANSI Spark would NULL the overflowed products and silently
+    // drop rows from the outlier count
+    val big = spark.range(20L * 1000 * 1000)
+      .select(lit("g").as("t"),
+        (lit(9.9e9) + (col("id") % 2)).as("v"))
+    val ex = intercept[Exception] {
+      Robust.zscoreOutliers(big, col("t"), col("v")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("DECIMAL(38) headroom")),
+      s"wrong failure: ${messages(ex).take(3)}")
+  }
+
   test("winsorize: thresholds are the ceil(p*n/100)-ranked values and clamps match") {
     val prices = Tables.lineitem(spark, sfDir)
       .select(col("l_returnflag"), col("l_extendedprice")).collect()
