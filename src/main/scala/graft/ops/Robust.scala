@@ -94,14 +94,14 @@ object Robust {
     * clamped DECIMAL sum.
     *
     * The percentile is the rank-`ceil(p·n)` VALUE, found without
-    * sorting the fact table: counts per distinct (group, price) — the
-    * distinct-value table is orders of magnitude smaller than the
-    * fact — then a cumulative window over that compact table, then the
-    * 3-row threshold frame broadcast back for a narrow clamp pass.
-    * Ties cost nothing: the k-th value ordered by value is well-defined
-    * whatever order equal rows shuffle in. At 100 TB the only sort is
-    * over distinct prices per group (bounded by price-domain
-    * cardinality), never over rows — the scale-killer a naive
+    * sorting the fact table OR its distinct values: a cents-bucket
+    * histogram locates each rank's bucket, and only those buckets get
+    * per-value refinement (see [[orderStats]]). The 3-row threshold
+    * frame broadcasts back for a narrow clamp pass. Ties cost nothing:
+    * the k-th value ordered by value is well-defined whatever order
+    * equal rows shuffle in. At 100 TB the only sorts are over the
+    * O(groups × buckets) histogram and the handful of selected
+    * buckets' values, never over rows — the scale-killer a naive
     * `row_number() OVER (ORDER BY price)` global rank would be.
     */
   def qWinsorize(spark: SparkSession, dir: String): DataFrame =
@@ -117,6 +117,10 @@ object Robust {
     * frame takes a serial prefix pass. Returns (g, p, c, cum, n) with
     * `cum` = #rows with value ≤ p in g, `n` = group size — exactly what
     * the single window produced, at O(groups × buckets) serial work.
+    * Use when the FULL cumulative distribution is needed (e.g.
+    * [[Events2]]'s conversion-latency quantile table); when only a few
+    * order statistics are wanted, [[orderStats]] skips the
+    * distinct-value cumulative table entirely.
     */
   private[ops] def cumCounts(prices: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -138,6 +142,51 @@ object Robust {
         (col("lc") + col("off")).as("cum"), col("n"))
   }
 
+  /** Exact per-group order statistics WITHOUT materializing cumulative
+    * counts over every distinct value: at sf0.1, l_extendedprice is
+    * 97% unique (583 k distinct of 600 k rows), so the distinct-value
+    * cumulative table is row-scale and its window sorts dominate the
+    * winsorize/binning cost — measured as the two most expensive batch
+    * queries in round 4. This is the classic two-phase quantile
+    * instead: (1) a cents-bucket histogram (ONE map-side-combined
+    * shuffle into O(groups × buckets) rows — each needed rank `k(n)`
+    * then locates its bucket by the serial bucket prefix), and (2) a
+    * residual-rank refinement over ONLY the selected buckets (a
+    * broadcast-semi-joined re-scan touching ~rank-count × bucket-width
+    * rows, per-value counts + one tiny window inside each). Exactness
+    * is unchanged: every copy of a value lives in exactly one bucket,
+    * so bucket-start + within-bucket rank is the global rank.
+    *
+    * `ks` maps a tag to the wanted rank as SQL over the group size `n`
+    * (e.g. `(n * 99 + 99) div 100`). Returns (g, d, t): per group and
+    * tag, the rank's VALUE.
+    */
+  private[ops] def orderStats(prices: DataFrame,
+    ks: Seq[(Int, String)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = prices.withColumn("bkt", expr("CAST(p * 100 AS BIGINT) div 8192"))
+    val hist = b.groupBy("g", "bkt").agg(count(lit(1)).as("c"))
+    val wPrior = Window.partitionBy("g").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withStart = hist
+      .withColumn("start", coalesce(sum(col("c")).over(wPrior), lit(0L)))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("g")))
+    val wanted = withStart.select(col("g"), col("bkt"), col("start"),
+        col("c"), explode(array(ks.map { case (d, kExpr) =>
+          struct(lit(d).as("d"), expr(kExpr).as("k")) }: _*)).as("dk"))
+      .filter(col("dk.k") > col("start") &&
+        col("dk.k") <= col("start") + col("c"))
+      .select(col("g"), col("bkt"), col("dk.d").as("d"),
+        (col("dk.k") - col("start")).as("kr"))
+    val wv = Window.partitionBy("g", "d").orderBy("p")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b.join(broadcast(wanted), Seq("g", "bkt"))
+      .groupBy("g", "d", "kr", "p").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wv))
+      .filter(col("cum") >= col("kr"))
+      .groupBy("g", "d").agg(min(col("p")).as("t"))
+  }
+
   /** [[qWinsorize]] over any frame: clamp `value` to the group's
     * [pLo, pHi] percentiles (whole-percent ranks, exact).
     */
@@ -146,12 +195,11 @@ object Robust {
     val prices = df.select(group.as("g"),
       value.cast(DecimalType(12, 2)).as("p"))
     // ceil(p·n/100) as pure integer arithmetic — identical in DuckDB.
-    val ranked = cumCounts(prices)
-      .withColumn("k_lo", expr(s"(n * $pLo + 99) div 100"))
-      .withColumn("k_hi", expr(s"(n * $pHi + 99) div 100"))
-    val thresholds = ranked.groupBy("g").agg(
-      min(when(col("cum") >= col("k_lo"), col("p"))).as("lo"),
-      min(when(col("cum") >= col("k_hi"), col("p"))).as("hi"))
+    val stats = orderStats(prices, Seq(
+      0 -> s"(n * $pLo + 99) div 100", 1 -> s"(n * $pHi + 99) div 100"))
+    val thresholds = stats.groupBy("g").agg(
+      min(when(col("d") === 0, col("t"))).as("lo"),
+      min(when(col("d") === 1, col("t"))).as("hi"))
     prices.join(broadcast(thresholds), "g")
       .select(col("g"),
         least(greatest(col("p"), col("lo")), col("hi")).as("cl"),
@@ -183,10 +231,11 @@ object Robust {
   def featureBins(df: DataFrame, group: Column, value: Column): DataFrame = {
     val prices = df.select(group.as("g"),
       value.cast(DecimalType(12, 2)).as("p"))
-    val ranked = cumCounts(prices)
-    val tCols = (1 to 9).map(d => min(when(
-      col("cum") >= expr(s"(n * $d + 9) div 10"), col("p"))).as(s"t$d"))
-    val thresholds = ranked.groupBy("g").agg(tCols.head, tCols.tail: _*)
+    val stats = orderStats(prices,
+      (1 to 9).map(d => d -> s"(n * $d + 9) div 10"))
+    val tCols = (1 to 9).map(d =>
+      min(when(col("d") === d, col("t"))).as(s"t$d"))
+    val thresholds = stats.groupBy("g").agg(tCols.head, tCols.tail: _*)
     val bin = (1 to 9).map(d => (col("p") > col(s"t$d")).cast("int"))
       .reduce(_ + _)
     prices.join(broadcast(thresholds), "g")
