@@ -90,6 +90,18 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The stdout cap only constrains the driver's one-line summary — the
+    // COMPLETE per-query map goes to a committed artifact so every
+    // query's trend is diffable round over round, not just the headline
+    // set. (Overwritten on each bench run; sorted keys for clean diffs.)
+    val full = results.sortBy(_._1)
+      .map { case (k, v) => s"""  "$k": ${f3(v)}""" }
+      .mkString("{\n", ",\n", "\n}")
+    val out = new java.io.PrintWriter("BENCH_FULL.json")
+    try out.println(
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir",
+         |"queries":$full}""".stripMargin)
+    finally out.close()
     spark.stop()
   }
 }

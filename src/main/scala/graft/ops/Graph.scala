@@ -18,59 +18,83 @@ import graft.Tables
   */
 object Graph {
 
-  /** 3-iteration PageRank (d = 0.85) over the bipartite part↔supplier
-    * graph induced by lineitem (distinct (partkey, suppkey) pairs, both
-    * directions, so every node has in- and out-edges and no dangling
-    * mass correction is needed). Ranks are reported scaled by N (≈1 for
-    * an average node) and rounded to 6 decimals BEFORE the top-20
-    * selection, ties broken by node id — both engines therefore select
-    * the identical list. At scale: the edge list shuffles once per
-    * iteration per direction (join on src, aggregate on dst), state is
-    * one (node, rank) row — the standard Pregel-as-joins shape; the
-    * fixed iteration count keeps lineage flat (the CC resolver shows
-    * the checkpointed unbounded-iteration variant).
+  /** PageRank (d = 0.85) over an arbitrary directed edge list, as the
+    * Pregel-as-joins loop. Returns (node, r) after `iters` iterations;
+    * assumes every node has in- and out-edges (no dangling-mass
+    * correction), which the bipartite doubled edge list guarantees.
+    *
+    * Knobs — the two cluster-deployment decisions, parameterized so
+    * specs and probes exercise BOTH sides of each:
+    *
+    * `reliableCheckpoint`: the edge list and degree table are
+    * materialized once before the loop (each iteration would otherwise
+    * replan and re-shuffle the whole derivation chain — measured
+    * 7.9 s → 5.2 s at sf0.1). `false` = `localCheckpoint` (executor
+    * blocks — fine single-node, lost with an executor); `true` =
+    * reliable `checkpoint()` to the configured checkpoint dir, which
+    * survives executor loss — the cluster setting, same trade the CC
+    * resolver documents. Requires `sc.setCheckpointDir`.
+    *
+    * `broadcastRanks`: ranks are O(nodes) — broadcast them (`true`) so
+    * the edge list never shuffles for the join; only the per-
+    * destination aggregate exchanges. When the node table outgrows a
+    * broadcast, `false` forces the co-partitioned fallback (a
+    * shuffle-hash join of edges and ranks on the node key — the
+    * classic Pregel shape, edges shuffling once per iteration per
+    * direction); results are identical by construction and the
+    * ScaleProbe row measures the cost gap.
     */
-  def qGraphPagerank(spark: SparkSession, dir: String): DataFrame = {
-    // materialize the directed edge list once — each iteration would
-    // otherwise replan (and re-shuffle) the whole distinct+union
-    // derivation chain; same flat-lineage move as the CC resolver
-    // (reliable checkpoint() on a cluster). Measured at sf0.1:
-    // 7.9 s → 5.2 s; caching the narrow pair list and re-deriving the
-    // doubled strings per iteration measured WORSE (the concat runs
-    // 3×1.18 M times) — cache what the loop actually reads.
-    val e0 = Tables.lineitem(spark, dir)
-      .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
-      .distinct()
-    val edges = e0
-      .select(concat(lit("p:"), col("p")).as("src"),
-        concat(lit("s:"), col("s")).as("dst"))
-      .union(e0.select(concat(lit("s:"), col("s")).as("src"),
-        concat(lit("p:"), col("p")).as("dst")))
-      .localCheckpoint()
-    val deg = edges.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("d"))
-      .localCheckpoint()
+  def pagerank(edgesIn: DataFrame, iters: Int,
+    reliableCheckpoint: Boolean = false,
+    broadcastRanks: Boolean = true): DataFrame = {
+    def pin(df: DataFrame): DataFrame =
+      if (reliableCheckpoint) df.checkpoint() else df.localCheckpoint()
+    val edges = pin(edgesIn.select(col("src"), col("dst")))
+    val deg = pin(edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("d")))
     val n = deg.count()
     val base = 0.15 / n // same IEEE division the oracle performs
     var r = deg.select(col("node"), lit(1.0 / n).as("r"))
-    for (_ <- 1 to 3) {
-      // ranks are O(nodes) — broadcast them so the edge list never
-      // shuffles for the join; only the per-destination aggregate
-      // exchanges. (When the node table outgrows a broadcast, drop the
-      // hint: the join falls back to co-partitioning edges and ranks on
-      // the node key — the classic Pregel shape.)
-      val w = broadcast(r.join(deg, "node")
-        .select(col("node"), (col("r") / col("d").cast("double")).as("w")))
+    for (_ <- 1 to iters) {
+      val w0 = r.join(deg, "node")
+        .select(col("node"), (col("r") / col("d").cast("double")).as("w"))
+      val w = if (broadcastRanks) broadcast(w0) else w0.hint("shuffle_hash")
       r = edges.join(w, edges("src") === w("node"))
         .groupBy(col("dst").as("node"))
         .agg((lit(base) + lit(0.85) *
           sum(col("w").cast(DecimalType(38, 18))).cast("double")).as("r"))
     }
-    r.select(col("node"),
-        round(col("r") * lit(n.toDouble), 6).as("rank_scaled"))
+    r.withColumn("n_nodes", lit(n))
+  }
+
+  /** The part↔supplier bipartite edge list induced by lineitem:
+    * distinct (partkey, suppkey) pairs, both directions, so every node
+    * has in- and out-edges.
+    */
+  def bipartiteEdges(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = Tables.lineitem(spark, dir)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+      .distinct()
+    e0.select(concat(lit("p:"), col("p")).as("src"),
+        concat(lit("s:"), col("s")).as("dst"))
+      .union(e0.select(concat(lit("s:"), col("s")).as("src"),
+        concat(lit("p:"), col("p")).as("dst")))
+  }
+
+  /** 3-iteration PageRank over the part↔supplier graph. Ranks are
+    * reported scaled by N (≈1 for an average node) and rounded to 6
+    * decimals BEFORE the top-20 selection, ties broken by node id —
+    * both engines therefore select the identical list. (Caching the
+    * narrow pair list and re-deriving the doubled strings per
+    * iteration measured WORSE than pinning the final edge list — the
+    * concat runs 3×1.18 M times; pin what the loop actually reads.)
+    */
+  def qGraphPagerank(spark: SparkSession, dir: String): DataFrame =
+    pagerank(bipartiteEdges(spark, dir), 3)
+      .select(col("node"),
+        round(col("r") * col("n_nodes").cast("double"), 6).as("rank_scaled"))
       .orderBy(col("rank_scaled").desc, col("node").asc)
       .limit(20)
-  }
 
   val oracles: Map[String, String] = Map(
     "q_graph_pagerank" ->

@@ -245,6 +245,21 @@ object ScaleProbe {
       nm.unpersist()
     }
 
+    // PageRank join-strategy gap: broadcast ranks (edges never shuffle
+    // for the join) vs the forced co-partitioned shuffle-hash fallback
+    // (the shape once the node table outgrows a broadcast). Identical
+    // results required; the gap is the price of outgrowing a broadcast.
+    {
+      def pr(bcast: Boolean): Long =
+        graft.ops.Graph.pagerank(
+            graft.ops.Graph.bipartiteEdges(spark, sfDir), 3,
+            broadcastRanks = bcast)
+          .agg(count(lit(1)), sum(round(col("r") * col("n_nodes")
+            .cast("double"), 6))).collect().length.toLong
+      time("pagerank bcast")(pr(true))
+      time("pagerank coparted")(pr(false))
+    }
+
     // Text/curation lanes: narrow passes + bounded-key aggregates —
     // must be linear. Curate pairs the k× corpus with the k×-cluster
     // embeddings frame (doc_id and vec_id offsets aligned).
