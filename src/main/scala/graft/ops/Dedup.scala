@@ -258,12 +258,19 @@ object Dedup {
     * many are true near-dups (J ≥ 0.5), and the mean Jaccard (decimal-
     * summed so the average is order-independent). One extra shuffle on
     * the pair key over the two underlying pipelines.
+    *
+    * The merge hint is load-bearing: BOTH sides are pair-scale (they
+    * grow together with the near-dup mass), so the join must co-
+    * partition on the pair key — at 10× replication AQE's estimates
+    * still picked a broadcast here and the ~250 k-pair build blew past
+    * `spark.driver.maxResultSize` (found by the scaled gate run; the
+    * hint is the fix, not a bigger driver).
     */
   def qDedupQuality(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val cand = qDedupMinhash(spark, dir).select(col("doc_a"), col("doc_b"))
     val jac = jaccardPairs(spark, dir, 0.0)
-    cand.join(jac, Seq("doc_a", "doc_b"), "left")
+    cand.join(jac.hint("merge"), Seq("doc_a", "doc_b"), "left")
       .agg(count(lit(1)).as("n_candidates"),
         count(col("jaccard")).as("n_scored"),
         sum(when(col("jaccard") >= 0.5, 1L).otherwise(0L)).as("n_good"),
