@@ -173,6 +173,8 @@ object SparkEntry {
     "q_mm_meta" -> (Multimodal.qMmMeta _),
     "q_mm_features" -> (Multimodal.qMmFeatures _),
     "q_mm_resize" -> (Multimodal.qMmResize _),
+    "q_mm_audio" -> (Multimodal.qMmAudio _),
+    "q_mm_audio_resample" -> (Multimodal.qMmAudioResample _),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (driver t2 gate).

@@ -130,6 +130,73 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** One deterministic mono 16-bit PCM WAV per document — the audio
+    * twin of [[imagesOf]]. Sample count and rate vary per doc
+    * (n ∈ 120..319, rate ∈ {8000, 12000, 16000}); sample i is
+    * `((doc_id·37 + i·13 + text[i mod len]) mod 4001) − 2000`. Every
+    * third doc's file carries an odd-length `JUNK` chunk before `data`,
+    * so the decoder's chunk walk and RIFF pad handling are on the oracle
+    * path, not just the happy 44-byte layout.
+    */
+  def wavsOf(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.Tables.documentsSpread(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val tb = text.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+          val n = (120 + id % 200).toInt
+          val sr = (8000 + (id % 3) * 4000).toInt
+          val s = new Array[Short](n)
+          var i = 0
+          while (i < n) {
+            s(i) = (((id * 37 + i.toLong * 13 + (tb(i % tb.length) & 0xff))
+              % 4001) - 2000).toShort
+            i += 1
+          }
+          MediaRow(id, Wav.encode(sr, s, withJunk = id % 3 == 0))
+        }
+      }
+  }
+
+  /** Decoded-sample audio features: rate, length, sum, absolute sum,
+    * peak — all integer, all order-free. The DuckDB twin replays the
+    * generator formula arithmetically; this side must parse the RIFF
+    * chunk table (including the junk chunk + pad byte) and read the
+    * little-endian plane to agree.
+    */
+  def qMmAudio(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    wavsOf(spark, dir).mapPartitions { rows =>
+      rows.map { r =>
+        val a = Wav.decode(r.payload)
+        val (sum, sumAbs, peak) = a.stats
+        (r.doc_id, a.sampleRate.toLong, a.samples.length.toLong,
+          sum, sumAbs, peak)
+      }
+    }.toDF("doc_id", "sr", "n_samples", "sum_s", "sum_abs", "peak")
+      .orderBy("doc_id")
+  }
+
+  /** Real sample-space resample through the decode pipeline: every
+    * file decoded and decimated 3× (bounded output per row — the shape
+    * an audio feature-extraction stage has). Emits the decimated
+    * length/rate, plane sum, and first/last samples, all replayed by
+    * the oracle from the generator formula at stride-3 indices.
+    */
+  def qMmAudioResample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    wavsOf(spark, dir).mapPartitions { rows =>
+      rows.map { r =>
+        val a = Wav.decode(r.payload).decimate(3)
+        val (sum, _, _) = a.stats
+        (r.doc_id, a.sampleRate.toLong, a.samples.length.toLong, sum,
+          a.samples.head.toLong, a.samples.last.toLong)
+      }
+    }.toDF("doc_id", "sr_out", "n_out", "sum_d", "s_first", "s_last")
+      .orderBy("doc_id")
+  }
+
   /** Frame sampling over the binary payload: fixed 256-byte "frames",
     * stride-4 sampling (every 4th frame) — the video-frame-sample batch
     * shape with byte-slicing standing in for the frame split. The
@@ -153,6 +220,11 @@ object Multimodal {
   private def pxSql(i: String): String =
     s"(doc_id * 131 + ($i) * 7 + ascii(substring(text, " +
       s"CAST(($i) % length(text) AS INT) + 1, 1))) % 256"
+
+  /** The audio generator formula for sample `i`, as DuckDB SQL. */
+  private def auSql(i: String): String =
+    s"((doc_id * 37 + ($i) * 13 + ascii(substring(text, " +
+      s"CAST(($i) % length(text) AS INT) + 1, 1))) % 4001 - 2000)"
 
   val oracles: Map[String, String] = Map(
     // DuckDB substring() has no BLOB overload; the corpus is ASCII
@@ -199,6 +271,34 @@ object Multimodal {
          |    AS BIGINT) AS px_sum
          |FROM g ORDER BY doc_id""".stripMargin
     },
+    // decoded-sample audio stats over the generated PCM plane
+    "q_mm_audio" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, text,
+         |    8000 + (doc_id % 3) * 4000 AS sr,
+         |    120 + doc_id % 200 AS n
+         |  FROM documents)
+         |SELECT doc_id, sr, n AS n_samples,
+         |  CAST(list_sum(list_transform(range(0, n),
+         |    i -> ${auSql("i")})) AS BIGINT) AS sum_s,
+         |  CAST(list_sum(list_transform(range(0, n),
+         |    i -> abs(${auSql("i")}))) AS BIGINT) AS sum_abs,
+         |  CAST(list_max(list_transform(range(0, n),
+         |    i -> abs(${auSql("i")}))) AS BIGINT) AS peak
+         |FROM g ORDER BY doc_id""".stripMargin,
+    // stride-3 decimation: output sample j reads source sample j*3
+    "q_mm_audio_resample" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, text,
+         |    (8000 + (doc_id % 3) * 4000) // 3 AS sr_out,
+         |    (120 + doc_id % 200 + 2) // 3 AS n_out
+         |  FROM documents)
+         |SELECT doc_id, sr_out, n_out,
+         |  CAST(list_sum(list_transform(range(0, n_out),
+         |    j -> ${auSql("j * 3")})) AS BIGINT) AS sum_d,
+         |  CAST(${auSql("0")} AS BIGINT) AS s_first,
+         |  CAST(${auSql("(n_out - 1) * 3")} AS BIGINT) AS s_last
+         |FROM g ORDER BY doc_id""".stripMargin,
     "q_mm_meta" ->
       """SELECT doc_id,
         |  octet_length(encode(text)) AS byte_len,

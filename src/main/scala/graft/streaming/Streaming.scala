@@ -75,23 +75,33 @@ object Streaming {
     * events) struct — per-batch work is O(batch rows for the user), not
     * O(user history), and state is three longs regardless of stream
     * length. On event-time timeout (watermark passed lastSec + gap) the
-    * state is emitted one final time and REMOVED: a quiet user costs
-    * nothing forever after. Late events inside the watermark horizon
-    * fold in with min/max clamping (an out-of-order event cannot create
-    * a negative gap or double-count a session boundary — it lands in the
-    * existing session); events later than the horizon are dropped by the
+    * state is REMOVED: a quiet user costs nothing forever after. Late
+    * events inside the watermark horizon fold in with min/max clamping
+    * (an out-of-order event cannot create a negative gap or
+    * double-count a session boundary — it lands in the existing
+    * session); events later than the horizon are dropped by the
     * watermark upstream, the standard bounded-state trade-off.
+    *
+    * EMITS DELTAS, not running totals: each invocation returns the
+    * (sessions, events) counted since the previous emission for this
+    * user, so `SUM(delta) GROUP BY user` downstream yields exact
+    * lifetime totals under ANY batching — including a user evicted by
+    * timeout who later returns and restarts state at zero (their
+    * earlier counts live in earlier deltas; a running-total emission
+    * would lose them, which is why the old max_by reduce needed a
+    * no-mid-stream-timeout caveat). The timeout emission is the empty
+    * delta: everything was already emitted by the data invocations.
     */
   def updateSessions(uid: Long, rows: Iterator[(Long, Long)],
     state: GroupState[SessionState]): UserSessions = {
     if (state.hasTimedOut) {
-      val st = state.get
       state.remove()
-      UserSessions(uid, st.sessions, st.events)
+      UserSessions(uid, 0L, 0L)
     } else {
       val batch = rows.map(_._2).toArray
       java.util.Arrays.sort(batch)
-      var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+      val old = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+      var st = old
       batch.foreach { sec =>
         val isNew = st.events == 0L || sec - st.lastSec > SessionGapSec
         st = SessionState(math.max(sec, st.lastSec),
@@ -105,7 +115,7 @@ object Streaming {
       val target = (st.lastSec + SessionGapSec) * 1000L
       state.setTimeoutTimestamp(
         math.max(target, state.getCurrentWatermarkMs() + 1L))
-      UserSessions(uid, st.sessions, st.events)
+      UserSessions(uid, st.sessions - old.sessions, st.events - old.events)
     }
   }
 
@@ -392,26 +402,15 @@ object Streaming {
 
   /** Custom stateful streaming in the driver gate: [[sessionize]]
     * (mapGroupsWithState, 30-minute gap rule) run to completion with
-    * Trigger.AvailableNow. The staged input is a single file, so the
-    * stream is one micro-batch and per-user rows arrive complete (the
-    * sort inside the state function then fixes intra-batch order);
-    * Update-mode memory output is reduced with max_by(n_events) to keep
-    * the final state per user if the source ever splits into several
-    * batches.
-    *
-    * VALIDITY BOUND of that reduce: it assumes a user's (sessions,
-    * events) counters are non-decreasing across the emitted rows —
-    * true whenever no event-time TIMEOUT fires mid-stream for a user
-    * who later returns (the timeout emission removes state, and a
-    * comeback restarts the counters at zero, so no single row would
-    * carry the lifetime totals). Here that holds structurally: the
-    * whole staged zone is consumed under AvailableNow, so the
-    * watermark only reaches eviction territory at stream end. A
-    * continuous deployment wanting lifetime totals should sum the
-    * per-emission DELTAS downstream (or keep cumulative counters in
-    * state and not reset on timeout re-creation, trading bounded state
-    * for exact lifetime counts). Hash-checked against the batch
-    * sessionization SQL.
+    * Trigger.AvailableNow. [[updateSessions]] emits per-invocation
+    * DELTAS, so the Update-mode memory output reduces with a plain
+    * `SUM … GROUP BY user` — exact lifetime totals under ANY batching
+    * of the feed, including a user evicted by event-time timeout who
+    * later returns (the earlier deltas already carry their counts;
+    * state stays bounded by ACTIVE users). This retires the old
+    * max_by reduce's validity caveat ("no mid-stream timeout for a
+    * returning user") with arithmetic instead of an assumption.
+    * Hash-checked against the batch sessionization SQL.
     */
   def qStreamSessions(spark: SparkSession, dir: String): DataFrame = {
     val stage = new java.io.File(sys.props("java.io.tmpdir"),
@@ -422,8 +421,8 @@ object Streaming {
       s"graft_stream_sessions_${runSeq.incrementAndGet()}",
       OutputMode.Update())
     res.groupBy(col("user_id"))
-      .agg(max_by(col("n_sessions"), col("n_events")).as("n_sessions"),
-        max(col("n_events")).as("n_events"))
+      .agg(sum(col("n_sessions")).as("n_sessions"),
+        sum(col("n_events")).as("n_events"))
       .orderBy("user_id")
   }
 

@@ -60,9 +60,9 @@ class StreamingSpec extends SparkTestBase {
     val updates = Streaming.runToMemory(
       Streaming.sessionize(spark, stageDir).toDF(),
       "sessions", OutputMode.Update())
-    // state grows monotonically; the latest update per user is the total
+    // emissions are per-invocation deltas; their sum is the lifetime total
     val got = updates.groupBy("user_id")
-      .agg(max("n_sessions").as("s"), max("n_events").as("e"))
+      .agg(sum("n_sessions").as("s"), sum("n_events").as("e"))
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
 
     val want = graft.ops.Events.qEventSessions(spark, sfDir)
@@ -246,14 +246,19 @@ class StreamingSpec extends SparkTestBase {
         GroupStateTimeout.EventTimeTimeout, 0L, Optional.of(0L), false)
       updateSessions(7L, all.map(7L -> _).iterator, st)
     }
-    // same events split across two batches must give the same answer
+    // same events split across two batches: emissions are DELTAS, so the
+    // one-shot delta must equal the SUM of the split deltas (this is the
+    // contract that makes the downstream SUM reduce batching-invariant)
     val st = TestGroupState.create[SessionState](Optional.empty(),
       GroupStateTimeout.EventTimeTimeout, 0L, Optional.of(0L), false)
-    updateSessions(7L, all.take(2).map(7L -> _).iterator, st)
+    val first = updateSessions(7L, all.take(2).map(7L -> _).iterator, st)
     val second = updateSessions(7L,
       all.drop(2).map(7L -> _).iterator, st)
-    assert(oneShot == second)
-    assert(second.n_sessions == 2L && second.n_events == 4L)
+    assert(oneShot.n_sessions == first.n_sessions + second.n_sessions)
+    assert(oneShot.n_events == first.n_events + second.n_events)
+    assert(oneShot.n_sessions == 2L && oneShot.n_events == 4L)
+    assert(first == Streaming.UserSessions(7L, 1L, 2L))
+    assert(second == Streaming.UserSessions(7L, 1L, 2L))
     // eviction boundary registered: lastSec + gap
     assert(st.getTimeoutTimestampMs.get ==
       (2200L + Streaming.SessionGapSec) * 1000L)
@@ -268,7 +273,34 @@ class StreamingSpec extends SparkTestBase {
       GroupStateTimeout.EventTimeTimeout, 0L,
       Optional.of((2200L + Streaming.SessionGapSec) * 1000L + 1L), true)
     val fin = updateSessions(7L, Iterator.empty, st)
-    assert(fin == Streaming.UserSessions(7L, 2L, 4L))
+    // the timeout emission is the EMPTY delta — the data invocations
+    // already emitted every count, so a returning user's restarted
+    // counters cannot lose history under the SUM reduce
+    assert(fin == Streaming.UserSessions(7L, 0L, 0L))
     assert(st.isRemoved, "quiet user's state must be evicted")
+  }
+
+  test("deltas sum to lifetime totals across an eviction + comeback") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import Streaming.{updateSessions, SessionState}
+    // life of user 7: two sessions, eviction, then a comeback session —
+    // the scenario where a running-total emission (max_by reduce) loses
+    // the pre-eviction counts and the delta SUM must not
+    def fresh() = TestGroupState.create[SessionState](Optional.empty(),
+      GroupStateTimeout.EventTimeTimeout, 0L, Optional.of(0L), false)
+    val st1 = fresh()
+    val d1 = updateSessions(7L, Seq(0L, 100L, 5000L).map(7L -> _).iterator, st1)
+    val timedOut = TestGroupState.create[SessionState](
+      Optional.of(SessionState(5000L, 2L, 3L)),
+      GroupStateTimeout.EventTimeTimeout, 0L,
+      Optional.of((5000L + Streaming.SessionGapSec) * 1000L + 1L), true)
+    val d2 = updateSessions(7L, Iterator.empty, timedOut)
+    assert(timedOut.isRemoved)
+    val st2 = fresh() // comeback: state restarts at zero
+    val d3 = updateSessions(7L, Seq(900000L, 900060L).map(7L -> _).iterator, st2)
+    val sums = Seq(d1, d2, d3)
+    assert(sums.map(_.n_sessions).sum == 3L, "2 sessions + comeback session")
+    assert(sums.map(_.n_events).sum == 5L)
   }
 }
