@@ -112,6 +112,7 @@ object SparkEntry {
     "q_token_count" -> (Text.qTokenCount _),
     "q_fingerprint" -> (Text.qFingerprint _),
     "q_ngram_top" -> (Text.qNgramTop _),
+    "q_heavy_hitters" -> (graft.ops.HeavyHitters.qHeavyHitters _),
     "q_tfidf_top" -> (Text.qTfidfTop _),
     "q_pmi_bigrams" -> (graft.ops.Text2.qPmiBigrams _),
     "q_sample_stratified" -> (Text.qSampleStratified _),
@@ -357,6 +358,7 @@ object SparkEntry {
     graft.ops.Relational4.oracles ++ graft.ops.Relational5.oracles ++
     graft.ops.Relational6.oracles ++ graft.ops.Relational7.oracles ++
     graft.ops.Typed.oracles ++ graft.ops.Graph.oracles ++
+    graft.ops.HeavyHitters.oracles ++
     graft.sources.Sources.oracles ++
     graft.streaming.Streaming.oracles ++ Skew.oracles ++
     graft.ops.Robust.oracles ++ graft.ops.Embed.oracles ++

@@ -186,6 +186,12 @@ object Streaming {
 
   private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Per-process uniquifier for /tmp artifacts that must NOT be shared
+    * or resumed across JVMs (see [[qStreamUpsert]]).
+    */
+  private val jvmTag =
+    java.lang.Long.toHexString(System.nanoTime()).takeRight(8) + "_"
+
   /** Structured Streaming as a driver-gated query: stage the events table
     * as a landing-zone directory, stream it with a 2-hour watermark into
     * tumbling 1-hour (window, type) aggregates, run to completion with
@@ -477,7 +483,14 @@ object Streaming {
     if (stagedDirs.add(s"$dir->$stage"))
       graft.Tables.events(spark, dir).repartition(4)
         .write.mode("overwrite").parquet(stage)
-    val run = runSeq.incrementAndGet()
+    // Store/checkpoint paths carry a per-JVM tag: the run counter alone
+    // restarts at 0 in every new process, and a FRESH query resuming a
+    // PREVIOUS process's checkpoint replays a WAL whose file list points
+    // at that run's staging zone — the classic stale-checkpoint trap
+    // (surfaced as "Wrong basePath" when the zones differ). Deliberate
+    // checkpoint REUSE (kill/resume exactly-once) pins its own path —
+    // `StreamingSpec` "upsert killed mid-stream".
+    val run = s"$jvmTag${runSeq.incrementAndGet()}"
     val target = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_stream_upsert_$run").getAbsolutePath
     val ckpt = new java.io.File(sys.props("java.io.tmpdir"),
