@@ -274,6 +274,30 @@ object ScaleProbe {
       time(s"curate ${k}x")(graft.ops.Curate.curate(d, e).count())
       d.unpersist(); e.unpersist()
     }
+
+    // Heavy hitters: exact replication multiplies every count AND the
+    // relative threshold by k, so the ANSWER is k-invariant — the probe
+    // requires it — while runtime must stay linear (sketch build is one
+    // bounded aggregation; pass 2 shuffles only estimate-cleared tokens,
+    // never the whole vocabulary). The naive exact groupBy is timed
+    // alongside as the vocabulary-shuffle contrast.
+    var hhBase = -1L
+    Seq(1, 4, 10).foreach { k =>
+      val toks = (0 until k)
+        .map(_ => graft.ops.HeavyHitters.corpusTokens(spark, sfDir))
+        .reduce(_ union _).repartition(cpus.toInt).cache()
+      toks.count()
+      var rows = -1L
+      time(s"heavy hitters ${k}x") {
+        rows = graft.ops.HeavyHitters.heavyHitters(toks, 5L).count(); rows
+      }
+      if (hhBase < 0) hhBase = rows
+      require(rows == hhBase,
+        s"relative-threshold answer must be k-invariant: $rows != $hhBase")
+      time(s"naive exact ${k}x")(
+        toks.groupBy(col("t")).count().count())
+      toks.unpersist()
+    }
     spark.stop()
   }
 }

@@ -119,6 +119,18 @@ class PlanSpec extends SparkTestBase {
       s"bloom probe filter not inside whole-stage codegen:\n${p.take(2000)}")
   }
 
+  test("heavy-hitter sketch prefilter is codegen'd on the token stream") {
+    // the CMS estimate must be builtin expressions (xxhash64 +
+    // element_at on literal arrays) inside a whole-stage-codegen Filter
+    // — the same no-UDF rule the bloom lane enforces: a Scala-UDF
+    // estimate would break the span on the one stage that must be cheap
+    val p = plan(graft.ops.HeavyHitters.qHeavyHitters(spark, sfDir))
+    assert(p.contains("xxhash64"),
+      s"sketch hash expression missing from the plan:\n${p.take(1500)}")
+    assert("""\*\(\d+\) Filter [^\n]*element_at""".r.findFirstIn(p).isDefined,
+      s"sketch estimate filter not inside whole-stage codegen:\n${p.take(2000)}")
+  }
+
   test("pagerank iteration: ranks broadcast, edge list never shuffles") {
     val p = plan(graft.ops.Graph.qGraphPagerank(spark, sfDir))
     assert(p.contains("BroadcastHashJoin"),
