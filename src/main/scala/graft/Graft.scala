@@ -196,6 +196,19 @@ object Graft {
     /** Corpus-trained unigram-LM mean log-prob per document — the
       * model-free fluency/quality score.
       */
+    /** Exact tokens at ≥ permille/1000 of all positions via the
+      * count-min two-pass (sketch prefilter, exact verify) — bounded
+      * memory at any vocabulary size; `tokens` is one STRING column `t`.
+      */
+    def heavyHitters(tokens: DataFrame, permille: Long): DataFrame =
+      ops.HeavyHitters.heavyHitters(tokens, permille)
+
+    /** Per-token CMS estimate vs exact count (est ≥ cnt always) — the
+      * collision-inflation diagnostic that sizes the verify shuffle.
+      */
+    def heavyHitterEstimates(tokens: DataFrame): DataFrame =
+      ops.HeavyHitters.estimates(tokens)
+
     def unigramLmScores(docs: DataFrame): DataFrame =
       ops.Text2.unigramLmScores(docs)
 
@@ -324,5 +337,26 @@ object Graft {
       */
     def featureBins(df: DataFrame, group: Column, value: Column): DataFrame =
       ops.Robust.featureBins(df, group, value)
+  }
+
+  /** Multimodal media columns: opaque binary payloads decoded by real
+    * pure-JVM codecs (P6 PPM images, RIFF/WAVE PCM audio) through the
+    * mapPartitions batch shape — no shuffle, per-partition codec init,
+    * bounded output per row.
+    */
+  object media {
+    /** Decode + per-channel pixel sums over a (doc_id, P6 payload) frame. */
+    def imageFeatures(images: Dataset[ops.Multimodal.MediaRow]): Dataset[ops.Multimodal.ImageFeatures] =
+      ops.Multimodal.featuresOf(images)
+
+    /** Decode + sample stats (rate, n, sum, |sum|, peak) over a
+      * (doc_id, WAV payload) frame.
+      */
+    def audioFeatures(wavs: Dataset[ops.Multimodal.MediaRow]): DataFrame =
+      ops.Multimodal.audioStatsOf(wavs)
+
+    /** The codecs themselves, for per-row use outside a pipeline. */
+    def decodePpm(payload: Array[Byte]): ops.Ppm.Image = ops.Ppm.decode(payload)
+    def decodeWav(payload: Array[Byte]): ops.Wav.Audio = ops.Wav.decode(payload)
   }
 }

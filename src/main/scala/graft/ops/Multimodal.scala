@@ -72,9 +72,15 @@ object Multimodal {
     * per-partition init, streaming iterator). Features are per-channel
     * integer pixel sums: exact, order-free, oracle-replayable.
     */
-  def extractFeatures(spark: SparkSession, dir: String): Dataset[ImageFeatures] = {
-    import spark.implicits._
-    imagesOf(spark, dir).mapPartitions { rows =>
+  def extractFeatures(spark: SparkSession, dir: String): Dataset[ImageFeatures] =
+    featuresOf(imagesOf(spark, dir))
+
+  /** Same decode + feature pass over ANY (doc_id, P6 payload) frame —
+    * the facade's entry for user-supplied media columns.
+    */
+  def featuresOf(images: Dataset[MediaRow]): Dataset[ImageFeatures] = {
+    import images.sparkSession.implicits._
+    images.mapPartitions { rows =>
       // per-partition decoder init would go here (codec tables etc.)
       rows.map { r =>
         val img = Ppm.decode(r.payload)
@@ -82,6 +88,21 @@ object Multimodal {
         ImageFeatures(r.doc_id, img.w.toLong, img.h.toLong, sr, sg, sb)
       }
     }
+  }
+
+  /** Decoded-sample stats over ANY (doc_id, WAV payload) frame — the
+    * facade's audio twin of [[featuresOf]].
+    */
+  def audioStatsOf(wavs: Dataset[MediaRow]): DataFrame = {
+    import wavs.sparkSession.implicits._
+    wavs.mapPartitions { rows =>
+      rows.map { r =>
+        val a = Wav.decode(r.payload)
+        val (sum, sumAbs, peak) = a.stats
+        (r.doc_id, a.sampleRate.toLong, a.samples.length.toLong,
+          sum, sumAbs, peak)
+      }
+    }.toDF("doc_id", "sr", "n_samples", "sum_s", "sum_abs", "peak")
   }
 
   /** Oracle-checkable metadata slice of the multimodal pipeline: byte
@@ -165,18 +186,8 @@ object Multimodal {
     * chunk table (including the junk chunk + pad byte) and read the
     * little-endian plane to agree.
     */
-  def qMmAudio(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    wavsOf(spark, dir).mapPartitions { rows =>
-      rows.map { r =>
-        val a = Wav.decode(r.payload)
-        val (sum, sumAbs, peak) = a.stats
-        (r.doc_id, a.sampleRate.toLong, a.samples.length.toLong,
-          sum, sumAbs, peak)
-      }
-    }.toDF("doc_id", "sr", "n_samples", "sum_s", "sum_abs", "peak")
-      .orderBy("doc_id")
-  }
+  def qMmAudio(spark: SparkSession, dir: String): DataFrame =
+    audioStatsOf(wavsOf(spark, dir)).orderBy("doc_id")
 
   /** Real sample-space resample through the decode pipeline: every
     * file decoded and decimated 3× (bounded output per row — the shape

@@ -174,4 +174,29 @@ class GraftApiSpec extends SparkTestBase {
     assert((t.getLong(0), t.getLong(1), t.getLong(2), t.getLong(3),
       t.getLong(4)) == ((2L, 3600L, 3600L, 7200L, 7200L)))
   }
+
+  test("Graft media + heavy-hitter surface on ad-hoc frames") {
+    import spark.implicits._
+    // media: encode ad-hoc pixels/samples, facade decodes + features
+    val img = ops.Multimodal.MediaRow(7L,
+      ops.Ppm.encode(2, 1, Array[Byte](10, 20, 30, 40, 50, 60)))
+    val feats = Graft.media.imageFeatures(Seq(img).toDS()).collect().head
+    assert((feats.w, feats.h, feats.sum_r, feats.sum_g, feats.sum_b)
+      == ((2L, 1L, 50L, 70L, 90L)))
+    val wav = ops.Multimodal.MediaRow(8L,
+      ops.Wav.encode(8000, Array[Short](5, -3, 7), withJunk = true))
+    val a = Graft.media.audioFeatures(Seq(wav).toDS()).collect().head
+    assert((a.getLong(1), a.getLong(2), a.getLong(3), a.getLong(4),
+      a.getLong(5)) == ((8000L, 3L, 9L, 15L, 7L)))
+    assert(Graft.media.decodeWav(wav.payload).samples.toSeq
+      == Seq[Short](5, -3, 7))
+    // heavy hitters: relative threshold over an ad-hoc token column
+    val toks = (Seq.fill(60)("hot") ++ (0 until 40).map(i => s"t_$i")).toDF("t")
+    val hh = Graft.text.heavyHitters(toks, permille = 100L).collect()
+    assert(hh.map(r => (r.getString(0), r.getLong(1))).toSeq
+      == Seq("hot" -> 60L))
+    // diagnostics: estimate dominates the exact count for every token
+    val est = Graft.text.heavyHitterEstimates(toks)
+    assert(est.filter(col("est") < col("cnt")).count() == 0L)
+  }
 }
