@@ -24,9 +24,20 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      // repartition(1), NOT coalesce(1): coalesce merges the write INTO
+      // the query's final stage, collapsing every post-shuffle operator
+      // (windows, joins, generates) to one task — at 10× gate scale a
+      // single query sat on one core for 10+ minutes. The explicit
+      // exchange keeps compute parallel; only the (row-count-bounded)
+      // write is single-task, and the driver's compare sorts rows, so
+      // file-internal order is free to differ.
+      try {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).repartition(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        System.err.println(
+          f"[verify] $name ok ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -61,28 +61,55 @@ object Relational4 {
 
   /** Time-series resample: per user, a 1-minute grid from first to last
     * event, per-minute exact value sums, forward-filled through gaps
-    * (last non-null over the grid), then per-user summary. The grid
-    * explode + one window pass is the standard batch gap-fill shape —
-    * linear in grid size, single shuffle on user_id.
+    * (last non-null over the grid), then per-user summary.
+    *
+    * The naive batch shape — explode the full per-user grid, LEFT JOIN
+    * the per-minute values back, forward-fill with a window over the
+    * grid — puts the grid (users × minutes: 629 M rows at the 10× gate,
+    * a 60× amplification of the events table) through a sort-merge join
+    * AND a window sort: two grid-scale exchanges plus a grid-scale
+    * sort, 803 s at 10×. The at-scale shape does every keyed operation
+    * at EVENT scale instead: one window pass over the per-minute frame
+    * computes the forward-fill (`last ignoreNulls`) and each minute's
+    * gap extent (`lead`), then each (minute, next-minute) segment
+    * explodes straight into a partial aggregate. The grid exists only
+    * inside a narrow Generate→partial-agg pipeline — it never crosses
+    * an exchange and never gets sorted — and per-gap `sequence` arrays
+    * are bounded by gap length, not by a user's whole time span.
+    * 803 s → seconds at the 10× gate; identical results (the segment
+    * carries exactly the value the grid-scale fill would assign).
+    *
+    * The explicit-count repartition pins the window's parallelism: the
+    * per-minute frame is small, so AQE would coalesce its exchange to
+    * ~1 partition — and the grid-scale explode+agg pipeline downstream
+    * of it would funnel through that one task. REPARTITION_BY_NUM is
+    * exempt from AQE coalescing; the window and the final groupBy both
+    * reuse its clustering, so the grid-scale stage runs at full width
+    * with no further exchange.
     */
   def qEventResample(spark: SparkSession, dir: String): DataFrame = {
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val e = Tables.events(spark, dir)
       .withColumn("minute", expr("unix_timestamp(ts) div 60"))
     val perMin = e.groupBy(col("user_id"), col("minute"))
       .agg(sum(col("value").cast(DecimalType(12, 2))).cast("double").as("v"))
-    val grid = e.groupBy(col("user_id"))
-      .agg(min(col("minute")).as("lo"), max(col("minute")).as("hi"))
-      .select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("minute"))
-    val w = Window.partitionBy(col("user_id")).orderBy(col("minute").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid.join(perMin, Seq("user_id", "minute"), "left")
-      .withColumn("filled", last(col("v"), ignoreNulls = true).over(w))
+      .repartition(parts, col("user_id"))
+    val wu = Window.partitionBy(col("user_id")).orderBy(col("minute").asc)
+    val seg = perMin
+      .withColumn("ff", last(col("v"), ignoreNulls = true)
+        .over(wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("seg_end",
+        coalesce(lead(col("minute"), 1).over(wu) - 1, col("minute")))
+    seg
+      .select(col("user_id"), col("v"), col("ff"), col("minute").as("m0"),
+        explode(sequence(col("minute"), col("seg_end"))).as("m"))
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_minutes"),
-        count(col("v")).as("n_event_minutes"),
-        sum(when(col("v").isNull && col("filled").isNotNull, 1L)
+        count(when(col("m") === col("m0"), col("v"))).as("n_event_minutes"),
+        sum(when((col("m") =!= col("m0") || col("v").isNull)
+            && col("ff").isNotNull, 1L)
           .otherwise(0L)).as("n_gap_filled"),
-        max_by(col("filled"), col("minute")).as("final_value"))
+        max_by(col("ff"), col("m")).as("final_value"))
       .orderBy("user_id")
   }
 
