@@ -65,7 +65,7 @@ object Bench {
       "q_token_count", "q_lang_id", "q_quality", "q_text_repetition",
       "q_text_chunk", "q_fingerprint_rolling", "q_ngram_top",
       "q_contamination", "q_tfidf_top", "q_pmi_bigrams",
-      "q_unigram_lm",
+      "q_unigram_lm", "q_bm25", "q_dedup_substr",
       "q_dedup_exact", "q_dedup_minhash", "q_dedup_jaccard",
       "q_dedup_jaccard_capped", "q_dedup_simhash", "q_dedup_embed",
       "q_dedup_resolve", "q_dedup_verify", "q_dedup_keep_best",

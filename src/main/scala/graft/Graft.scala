@@ -219,6 +219,26 @@ object Graft {
       */
     def fuzzySelfJoin(names: DataFrame, maxDist: Int = 2): DataFrame =
       ops.Fuzzy.fuzzySelfJoin(names, maxDist)
+
+    /** ExactSubstr dedup (Lee et al. 2022): per document, the merged
+      * spans of ≥ `l` consecutive tokens whose l-gram occurs ≥ 2 times
+      * in the corpus — span count + duplicated-token coverage.
+      */
+    def substrSpans(docs: DataFrame, l: Int = 8): DataFrame =
+      ops.Search.substrSpansOf(docs, l)
+
+    /** BM25 (Lucene "+1" IDF) top-k retrieval for a fixed term set. */
+    def bm25(docs: DataFrame, terms: Seq[String], k: Int = 10): DataFrame =
+      ops.Search.bm25Of(docs, terms, k)
+
+    /** Efraimidis–Spirakis weighted sampling without replacement: per
+      * `group`, the `k` rows with the largest u^(1/weight), u drawn
+      * deterministically from md5(`id`) — reproducible across runs,
+      * engines, and partitionings.
+      */
+    def weightedSample(df: DataFrame, group: String, id: String,
+      weight: String, k: Int): DataFrame =
+      ops.Search.weightedSample(df, group, id, weight, k)
   }
 
   /** Event-time operators. */

@@ -122,6 +122,8 @@ object SparkEntry {
     "q_text_chunk" -> (Text.qTextChunk _),
     "q_contamination" -> (Text.qContamination _),
     "q_text_repetition" -> (Text.qTextRepetition _),
+    "q_bm25" -> (graft.ops.Search.qBm25Search _),
+    "q_sample_weighted" -> (graft.ops.Search.qSampleWeighted _),
     // dedup
     "q_dedup_exact" -> (Dedup.qDedupExact _),
     "q_dedup_minhash" -> (Dedup.qDedupMinhash _),
@@ -134,6 +136,7 @@ object SparkEntry {
     "q_dedup_keep_best" -> (Dedup.qDedupKeepBest _),
     "q_dedup_quality" -> (Dedup.qDedupQuality _),
     "q_dedup_incremental" -> (Pipeline.qDedupIncremental _),
+    "q_dedup_substr" -> (graft.ops.Search.qDedupSubstr _),
     // training-pipeline composites
     "q_pack_sequences" -> (Pipeline.qPackSequences _),
     "q_split_train" -> (Pipeline.qSplitTrain _),
@@ -362,5 +365,6 @@ object SparkEntry {
     graft.sources.Sources.oracles ++
     graft.streaming.Streaming.oracles ++ Skew.oracles ++
     graft.ops.Robust.oracles ++ graft.ops.Embed.oracles ++
-    graft.ops.Curate.oracles ++ graft.ops.Fuzzy.oracles
+    graft.ops.Curate.oracles ++ graft.ops.Fuzzy.oracles ++
+    graft.ops.Search.oracles
 }

@@ -1,0 +1,240 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus search + sampling operators the reference's query surface and a
+  * training-data pipeline both want next after dedup/quality: exact
+  * duplicated-substring detection (the ExactSubstr dedup of Lee et al.
+  * 2022, "Deduplicating Training Data Makes Language Models Better"),
+  * BM25 full-text ranking (the retrieval scorer behind corpus search /
+  * decontamination lookups), and Efraimidis–Spirakis weighted sampling
+  * without replacement (the deterministic data-mixing primitive).
+  *
+  * All three are declarative DataFrame plans — narrow token explodes,
+  * hash-partitioned aggregates, windows keyed by document — so Catalyst
+  * keeps them in whole-stage codegen and every shuffle is on a key that
+  * scales with the corpus (gram, doc_id, source), never on a constant.
+  */
+object Search {
+
+  // ---------------------------------------------------------------- substr
+
+  /** Exact duplicated-substring spans, ExactSubstr-style: find every
+    * maximal token range of length ≥ L (= 8 here) whose L-token gram
+    * occurs at least twice in the corpus (across documents OR repeated
+    * within one — both are training-data duplication), and report per
+    * document the merged span count and total duplicated-token coverage.
+    *
+    * Shape, all linear in corpus tokens:
+    *  1. posexplode tokens; build each position's L-gram with `lead`
+    *     over (doc_id, pos) — one window pass, each token hashed and
+    *     shuffled exactly once (the array-of-grams formulation re-computes
+    *     the slice per position; see qFingerprintRolling's measured 50×
+    *     trap).
+    *  2. gram → count ≥ 2 ("posting list with df ≥ 2"). The gram frame
+    *     is grouped by gram, so the following LEFT SEMI join back to
+    *     positions reuses the same exchange — one shuffle write, two
+    *     readers, and a semi join cannot fan out on hot grams (a gram
+    *     appearing 10⁶ times marks 10⁶ positions, it does not build a
+    *     10¹²-pair product — the same df-blowup the dedup lanes cap).
+    *  3. islands-and-gaps merge per document: a duplicated position
+    *     within L of its predecessor extends the current span
+    *     (overlap-or-adjacent ⟺ pos − prev ≤ L), else starts a new one —
+    *     `lag` + running `sum` over the (doc_id, pos) window, then one
+    *     aggregate per span and one per doc.
+    *
+    * At 100 TB the only change is hashing the gram text (xxhash64/md5)
+    * before the groupBy so shuffle rows are 8 bytes, not L words — the
+    * plan is identical; grams stay exact here so the DuckDB oracle can
+    * reproduce them verbatim.
+    */
+  def qDedupSubstr(spark: SparkSession, dir: String): DataFrame =
+    substrSpansOf(Tables.documentsSpread(spark, dir), 8)
+
+  /** Same operator over any (doc_id, text, ...) frame; grams of `L` tokens. */
+  def substrSpansOf(docs: DataFrame, L: Int): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
+    val toks = docs
+      .select(col("doc_id"),
+        posexplode(split(lower(col("text")), " ", -1)).as(Seq("p0", "t")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("t"))
+    // L-gram starting at pos; positions that run off the end are dropped
+    // by the isNotNull guard on the last lead (concat_ws would otherwise
+    // silently shorten the gram and alias it with a real shorter gram).
+    val grams = toks
+      .withColumn("t_last", lead(col("t"), L - 1).over(w))
+      .withColumn("gram", concat_ws(" ",
+        col("t") +: (1 until L - 1).map(i => lead(col("t"), i).over(w))
+          :+ col("t_last"): _*))
+      .filter(col("t_last").isNotNull)
+      .select(col("doc_id"), col("pos"), col("gram"))
+    val dup = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+      .select(col("gram"))
+    val dupPos = grams.join(dup, Seq("gram"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    val wp = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
+    dupPos
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(wp) <= L, lit(0))
+          .otherwise(lit(1)))
+      .withColumn("grp", sum(col("brk"))
+        .over(wp.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("s0"), (max(col("pos")) + (L - 1)).as("s1"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("s1") - col("s0") + 1).cast("long").as("dup_tokens"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------------------ bm25
+
+  private val bm25Terms = Seq("spark", "filter", "stream")
+  private val bm25K1 = 1.2
+  private val bm25B = 0.75
+
+  /** BM25 top-10 ranking of the corpus for a fixed term set — the
+    * full-text retrieval scorer (Robertson/Sparck Jones; the "+1" IDF of
+    * Lucene so scores stay positive). tf comes from a token explode
+    * FILTERED to the query terms before the groupBy (the filter pushes
+    * below the shuffle: only matching tokens ever leave the scan stage);
+    * df is |terms| rows and broadcast; doc length joins on doc_id
+    * co-partitioned with tf; N/avgdl is a 1-row broadcast. Final top-k is
+    * orderBy+limit → TakeOrderedAndProject (per-partition heap + driver
+    * merge of k rows, never a global sort).
+    *
+    * Both engines compute the score with the same expression tree over
+    * the same exact integers (tf, df, dl, N), rounded to 6 decimals
+    * after the sum — the q_tfidf_top precedent for cross-engine double
+    * equality, and the ordering uses the rounded score so rank ties
+    * break identically (doc_id asc).
+    */
+  def qBm25Search(spark: SparkSession, dir: String): DataFrame =
+    bm25Of(Tables.documentsSpread(spark, dir), bm25Terms, 10)
+
+  /** Same operator over any (doc_id, text, ...) frame. */
+  def bm25Of(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), " ", -1)).as("w"))
+      .filter(col("w") =!= "")
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = toks.filter(col("w").isin(terms: _*))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "w")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("s",
+        log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+          * (col("tf") * lit(bm25K1 + 1.0))
+          / (col("tf") + lit(bm25K1) *
+              (lit(1.0 - bm25B) + lit(bm25B) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("s")), 6).as("bm25"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  // -------------------------------------------------- weighted sampling
+
+  /** Efraimidis–Spirakis weighted sampling WITHOUT replacement: per
+    * source, keep the k = 5 documents with the largest u^(1/w) where w
+    * is the document's char count and u a uniform draw — equivalently
+    * the largest ln(u)/w, which is what both engines compute. The draw
+    * is the md5-derived integer already proven engine-exact by
+    * q_sample_stratified (not RNG: at corpus scale a re-run MUST
+    * resample identically), shifted to (0,1) as (draw+1)/1002 so ln is
+    * finite. One narrow pass computes keys; the per-source top-k is a
+    * window row_number — at 100 TB with few sources, swap for the typed
+    * top-k Aggregator (q_topk_typed's bounded-heap shape) so no source
+    * partition is ever sorted whole; the key arithmetic is unchanged.
+    */
+  def qSampleWeighted(spark: SparkSession, dir: String): DataFrame =
+    weightedSample(Tables.documents(spark, dir),
+      group = "source", id = "doc_id", weight = "n_chars", k = 5)
+      .orderBy("source", "rk")
+
+  /** Same operator over any frame: per `group`, the `k` rows with the
+    * largest E-S key ln(u)/`weight` where u derives from md5(`id`) —
+    * weight must be a positive integral column, id a LONG.
+    */
+  def weightedSample(df: DataFrame, group: String, id: String,
+    weight: String, k: Int): DataFrame = {
+    val draw = Text.sampleDraw(s"CAST(CAST($id AS STRING) AS BINARY)")
+    val w = Window.partitionBy(col(group))
+      .orderBy(col("es_key").desc, col(id).asc)
+    df
+      .withColumn("es_key",
+        expr(s"ln((($draw) + 1) / 1002.0) / $weight"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col(group), col("rk"), col(id), col(weight),
+        round(col("es_key"), 6).as("es_key"))
+  }
+
+  // --------------------------------------------------------------- oracles
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_substr" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |p AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS pos
+        |      FROM t WHERE len(w) >= 8),
+        |g AS (SELECT doc_id, pos, array_to_string(w[pos:pos+7], ' ') AS gram FROM p),
+        |dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+        |d AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+        |s AS (SELECT doc_id, pos,
+        |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+        |             THEN 0 ELSE 1 END AS brk
+        |      FROM d),
+        |s2 AS (SELECT doc_id, pos,
+        |         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |       FROM s),
+        |spans AS (SELECT doc_id, MIN(pos) AS s0, MAX(pos) + 7 AS s1
+        |          FROM s2 GROUP BY doc_id, grp)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+        |       CAST(SUM(s1 - s0 + 1) AS BIGINT) AS dup_tokens
+        |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        |    FROM documents) WHERE w <> ''),
+        |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+        |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |                 CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+        |       WHERE w IN ('spark', 'filter', 'stream') GROUP BY doc_id, w),
+        |df AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    ln(1.0 + (n - df + 0.5) / (df + 0.5)) *
+        |      (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS s
+        |  FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN stats)
+        |SELECT doc_id, ROUND(SUM(s), 6) AS bm25,
+        |       CAST(COUNT(*) AS BIGINT) AS n_terms
+        |FROM scored GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id ASC LIMIT 10""".stripMargin,
+    "q_sample_weighted" -> {
+      val draw = Text.sampleDraw("CAST(doc_id AS VARCHAR)")
+      s"""WITH k AS (
+         |  SELECT source, doc_id, n_chars,
+         |    ln((($draw) + 1) / 1002.0) / n_chars AS es_key
+         |  FROM documents),
+         |r AS (SELECT source, doc_id, n_chars, es_key,
+         |        CAST(row_number() OVER (
+         |          PARTITION BY source ORDER BY es_key DESC, doc_id ASC)
+         |          AS BIGINT) AS rk
+         |      FROM k)
+         |SELECT source, rk, doc_id, n_chars, ROUND(es_key, 6) AS es_key
+         |FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin
+    })
+}

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Search
+
+/** ExactSubstr span dedup, BM25 ranking, and Efraimidis–Spirakis weighted
+  * sampling: each checked against a brute-force Scala computation of the
+  * same definition on data where the answer is enumerable by hand.
+  */
+class SearchSpec extends SparkTestBase {
+
+  private def docsOf(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("substrSpansOf finds cross-doc duplicated runs and merges overlaps") {
+    // docs 1 and 2 share tokens a1..a10 (10 tokens => gram starts 1..3
+    // with L=8, one merged span of 10 tokens); doc 3 is unique.
+    val shared = (1 to 10).map(i => s"a$i").mkString(" ")
+    val d = docsOf(
+      1L -> s"$shared u1 u2 u3 u4",
+      2L -> s"v1 v2 $shared",
+      3L -> (1 to 20).map(i => s"w$i").mkString(" "))
+    val got = Search.substrSpansOf(d, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(got == List((1L, 1L, 10L), (2L, 1L, 10L)))
+  }
+
+  test("substrSpansOf counts within-doc repetition and splits far spans") {
+    // one doc: 8-token run repeated at positions 1 and 30 (gap > L) =>
+    // two spans of 8 tokens each.
+    val run = (1 to 8).map(i => s"r$i").mkString(" ")
+    val mid = (1 to 21).map(i => s"m$i").mkString(" ")
+    val d = docsOf(7L -> s"$run $mid $run")
+    val got = Search.substrSpansOf(d, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(got == List((7L, 2L, 16L)))
+  }
+
+  test("substrSpansOf emits nothing when no gram repeats") {
+    val d = docsOf(
+      1L -> (1 to 30).map(i => s"x$i").mkString(" "),
+      2L -> (1 to 30).map(i => s"y$i").mkString(" "))
+    assert(Search.substrSpansOf(d, 8).count() == 0L)
+  }
+
+  test("substr gram build reuses one exchange for count and semi join") {
+    val df = Search.substrSpansOf(Tables.documentsSpread(spark, sfDir), 8)
+    df.collect() // materialize so AQE finalizes stage reuse
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), "df>=2 membership must be a semi join")
+    // AQE reuse shows either as a static ReusedExchange or as the same
+    // shuffle stage id consumed twice in the final adaptive plan.
+    val stageIds = "ShuffleQueryStage (\\d+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(plan.contains("ReusedExchange") ||
+      stageIds.distinct.size < stageIds.size,
+      s"expected a reused shuffle stage, got stages $stageIds in:\n$plan")
+  }
+
+  test("bm25Of matches a brute-force score on an enumerable corpus") {
+    val d = docsOf(
+      1L -> "spark spark stream alpha beta",
+      2L -> "spark gamma delta epsilon zeta eta theta iota",
+      3L -> "stream filter filter kappa",
+      4L -> "lambda mu nu xi")
+    val terms = Seq("spark", "filter", "stream")
+    val got = Search.bm25Of(d, terms, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toList
+
+    // brute force over the same definition
+    val toks = Map(1L -> Seq("spark", "spark", "stream", "alpha", "beta"),
+      2L -> Seq("spark", "gamma", "delta", "epsilon", "zeta", "eta", "theta", "iota"),
+      3L -> Seq("stream", "filter", "filter", "kappa"),
+      4L -> Seq("lambda", "mu", "nu", "xi"))
+    val n = toks.size.toDouble
+    val avgdl = toks.values.map(_.size).sum.toDouble / n
+    val dfm = terms.map(t => t -> toks.values.count(_.contains(t))).toMap
+    def score(doc: Long): Double = {
+      val dl = toks(doc).size.toDouble
+      terms.map { t =>
+        val tf = toks(doc).count(_ == t).toDouble
+        if (tf == 0 || dfm(t) == 0) 0.0
+        else math.log(1.0 + (n - dfm(t) + 0.5) / (dfm(t) + 0.5)) *
+          (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      }.sum
+    }
+    val want = toks.keys.toList.map(d0 => (d0, score(d0)))
+      .filter(_._2 > 0)
+      .map { case (d0, s) =>
+        (d0, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .sortBy { case (d0, s) => (-s, d0) }
+    assert(got.map(r => (r._1, r._2)) == want)
+    // n_terms is the count of matched query terms per doc
+    assert(got.find(_._1 == 1L).get._3 == 2L)
+    assert(got.find(_._1 == 3L).get._3 == 2L)
+  }
+
+  test("weighted sample reproduces the md5 E-S keys exactly, top-5/source") {
+    val got = Search.qSampleWeighted(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+
+    // brute-force: same md5 draw and key in plain JVM
+    def draw(docId: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(docId.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (hex(0).toLong * 65536 + hex(1).toLong * 256 + hex(2).toLong) % 1000
+    }
+    val docs = Tables.documents(spark, sfDir)
+      .select("source", "doc_id", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = docs.groupBy(_._1).toList.flatMap { case (src, rows) =>
+      rows.map { case (_, id, w) =>
+        (id, math.log((draw(id) + 1) / 1002.0) / w)
+      }.sortBy { case (id, k) => (-k, id) }
+        .take(5).zipWithIndex
+        .map { case ((id, _), i) => (src, i.toLong + 1, id) }
+    }.sortBy(r => (r._1, r._2))
+    assert(got.toList == want)
+  }
+}
