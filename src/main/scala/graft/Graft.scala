@@ -231,6 +231,13 @@ object Graft {
     def bm25(docs: DataFrame, terms: Seq[String], k: Int = 10): DataFrame =
       ops.Search.bm25Of(docs, terms, k)
 
+    /** Cross-corpus n-gram decontamination: training docs sharing any
+      * `l`-token gram with the held-out split (doc_id % 50 == 0 here),
+      * with leaked-gram counts and position coverage.
+      */
+    def decontaminate(docs: DataFrame, l: Int = 8): DataFrame =
+      ops.Search.decontaminateOf(docs, l)
+
     /** Efraimidis–Spirakis weighted sampling without replacement: per
       * `group`, the `k` rows with the largest u^(1/weight), u drawn
       * deterministically from md5(`id`) — reproducible across runs,

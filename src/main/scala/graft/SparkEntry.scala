@@ -124,6 +124,8 @@ object SparkEntry {
     "q_text_repetition" -> (Text.qTextRepetition _),
     "q_bm25" -> (graft.ops.Search.qBm25Search _),
     "q_sample_weighted" -> (graft.ops.Search.qSampleWeighted _),
+    "q_decontaminate" -> (graft.ops.Search.qDecontaminate _),
+    "q_quality_budget" -> (graft.ops.Search.qQualityBudget _),
     // dedup
     "q_dedup_exact" -> (Dedup.qDedupExact _),
     "q_dedup_minhash" -> (Dedup.qDedupMinhash _),

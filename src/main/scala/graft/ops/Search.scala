@@ -55,23 +55,29 @@ object Search {
   def qDedupSubstr(spark: SparkSession, dir: String): DataFrame =
     substrSpansOf(Tables.documentsSpread(spark, dir), 8)
 
-  /** Same operator over any (doc_id, text, ...) frame; grams of `L` tokens. */
-  def substrSpansOf(docs: DataFrame, L: Int): DataFrame = {
+  /** (doc_id, pos, gram): the L-token gram starting at each 1-based
+    * token position — one `lead` window pass, each token shuffled once.
+    * Positions that run off the end are dropped by the isNotNull guard
+    * on the last lead (concat_ws would otherwise silently shorten the
+    * gram and alias it with a real shorter gram).
+    */
+  private[ops] def tokenGrams(docs: DataFrame, L: Int): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
-    val toks = docs
+    docs
       .select(col("doc_id"),
         posexplode(split(lower(col("text")), " ", -1)).as(Seq("p0", "t")))
       .select(col("doc_id"), (col("p0") + 1).as("pos"), col("t"))
-    // L-gram starting at pos; positions that run off the end are dropped
-    // by the isNotNull guard on the last lead (concat_ws would otherwise
-    // silently shorten the gram and alias it with a real shorter gram).
-    val grams = toks
       .withColumn("t_last", lead(col("t"), L - 1).over(w))
       .withColumn("gram", concat_ws(" ",
         col("t") +: (1 until L - 1).map(i => lead(col("t"), i).over(w))
           :+ col("t_last"): _*))
       .filter(col("t_last").isNotNull)
       .select(col("doc_id"), col("pos"), col("gram"))
+  }
+
+  /** Same operator over any (doc_id, text, ...) frame; grams of `L` tokens. */
+  def substrSpansOf(docs: DataFrame, L: Int): DataFrame = {
+    val grams = tokenGrams(docs, L)
     val dup = grams.groupBy(col("gram"))
       .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
       .select(col("gram"))
@@ -181,6 +187,92 @@ object Search {
         round(col("es_key"), 6).as("es_key"))
   }
 
+  // -------------------------------------------------------- decontaminate
+
+  /** Cross-corpus n-gram decontamination (the GPT-3/PaLM eval-leakage
+    * method, generalizing q_contamination's fixed probe phrases): treat
+    * every doc_id % 10 == 0 document as the held-out benchmark, the rest
+    * as the training corpus, and flag every training document sharing at
+    * least one 8-token gram with any benchmark document — with the count
+    * of distinct leaked grams and the fraction of the doc's gram
+    * positions covered by them.
+    *
+    * Shape: benchmark grams reduce to DISTINCT before the join (the
+    * benchmark is small — a real deployment broadcasts it; here it
+    * stays a shuffle join so the plan is the one that survives a huge
+    * eval suite too; the distinct also means the LEFT OUTER probe below
+    * cannot fan out). Train positions probe the benchmark set with ONE
+    * left join, and the per-doc leak counts AND the per-doc gram total
+    * come out of the same single aggregate — the train gram stream is
+    * computed and shuffled once. Everything is keyed on gram or doc_id;
+    * linear in corpus tokens.
+    */
+  def qDecontaminate(spark: SparkSession, dir: String): DataFrame =
+    decontaminateOf(Tables.documentsSpread(spark, dir), 8)
+
+  /** Same operator over any (doc_id, text, ...) frame. */
+  def decontaminateOf(docs: DataFrame, L: Int): DataFrame = {
+    val grams = tokenGrams(docs, L)
+    val evalGrams = grams.filter(col("doc_id") % 10 === 0)
+      .select(col("gram")).distinct().withColumn("leak", lit(1))
+    grams.filter(col("doc_id") % 10 =!= 0)
+      .join(evalGrams, Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        countDistinct(when(col("leak") === 1, col("gram"))).as("n_leaked_grams"),
+        sum(when(col("leak") === 1, 1L).otherwise(0L)).as("n_leaked_pos"),
+        count(lit(1)).as("n_grams"))
+      .filter(col("n_leaked_pos") > 0)
+      .select(col("doc_id"), col("n_leaked_grams"),
+        round(col("n_leaked_pos").cast("double") / col("n_grams"), 6)
+          .as("leak_frac"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------- quality budget
+
+  /** Token-budget quality selection (the FineWeb-Edu-style curation
+    * step): per source, rank documents by quality score (Text.qualityOf
+    * — bit-identical across engines) and keep the best until the kept
+    * token total reaches half the source's tokens; report kept count,
+    * kept tokens, and the quality cutoff (min kept score). The budget
+    * derives from the data (50% of each source's tokens) so the
+    * operator is scale-invariant.
+    *
+    * Shape: one narrow pass computes (score, n_tokens); a per-source
+    * window takes the INCLUSIVE running token sum in (score desc,
+    * doc_id asc) order, keep ⟺ running ≤ budget; the broadcast-joined
+    * per-source totals frame is group-count-sized. The window sorts
+    * each source partition — at 100 TB with multi-TB sources, swap the
+    * sort for the bucket-histogram threshold refinement the robust lane
+    * ships (find the score cutoff via histogram, then one filter pass);
+    * the selection semantics are unchanged.
+    */
+  def qQualityBudget(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Text.qualityOf(Tables.documentsSpread(spark, dir))
+      .select(col("doc_id"), col("quality_score"))
+    val base = Tables.documents(spark, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ", -1)).cast("long"))
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+    val d = base.join(scored, "doc_id")
+    // `div`, not `/`: Spark's `/` is double division and a double→long
+    // CAST truncates while DuckDB's rounds — integer floor-div on both
+    // sides keeps odd totals engine-exact.
+    val budgets = d.groupBy(col("source"))
+      .agg(expr("CAST(sum(n_tokens) div 2 AS BIGINT)").as("budget"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.join(broadcast(budgets), "source")
+      .withColumn("running", sum(col("n_tokens")).over(w))
+      .filter(col("running") <= col("budget"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_tokens")).cast("long").as("tokens_kept"),
+        round(min(col("quality_score")), 6).as("qual_cutoff"))
+      .orderBy("source")
+  }
+
   // --------------------------------------------------------------- oracles
 
   val oracles: Map[String, String] = Map(
@@ -223,6 +315,38 @@ object Search {
         |       CAST(COUNT(*) AS BIGINT) AS n_terms
         |FROM scored GROUP BY doc_id
         |ORDER BY bm25 DESC, doc_id ASC LIMIT 10""".stripMargin,
+    "q_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |p AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS pos
+        |      FROM t WHERE len(w) >= 8),
+        |g AS (SELECT doc_id, pos, array_to_string(w[pos:pos+7], ' ') AS gram FROM p),
+        |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),
+        |tr AS (SELECT doc_id, gram FROM g WHERE doc_id % 10 <> 0),
+        |hits AS (SELECT doc_id,
+        |           CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_leaked_grams,
+        |           COUNT(*) AS n_leaked_pos
+        |         FROM tr WHERE gram IN (SELECT gram FROM ev) GROUP BY doc_id),
+        |tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM tr GROUP BY doc_id)
+        |SELECT hits.doc_id, n_leaked_grams,
+        |       ROUND(CAST(n_leaked_pos AS DOUBLE) / n_grams, 6) AS leak_frac
+        |FROM hits JOIN tot USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q_quality_budget" ->
+      s"""WITH q AS (${Text.qualityScoreSql}),
+         |d AS (SELECT doc_id, source,
+         |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |      FROM documents),
+         |j AS (SELECT d.doc_id, d.source, d.n_tokens, q.quality_score
+         |      FROM d JOIN q USING (doc_id)),
+         |b AS (SELECT source, SUM(n_tokens) // 2 AS budget FROM j GROUP BY source),
+         |r AS (SELECT j.*, b.budget,
+         |        SUM(n_tokens) OVER (PARTITION BY j.source
+         |          ORDER BY quality_score DESC, doc_id ASC
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+         |      FROM j JOIN b USING (source))
+         |SELECT source, COUNT(*) AS n_kept,
+         |       CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept,
+         |       ROUND(MIN(quality_score), 6) AS qual_cutoff
+         |FROM r WHERE running <= budget GROUP BY source ORDER BY source""".stripMargin,
     "q_sample_weighted" -> {
       val draw = Text.sampleDraw("CAST(doc_id AS VARCHAR)")
       s"""WITH k AS (

@@ -245,6 +245,33 @@ object ScaleProbe {
       nm.unpersist()
     }
 
+    // ExactSubstr span dedup growth: exact k× replication multiplies
+    // every 8-gram's corpus frequency by k — the worst case for any
+    // formulation that JOINS positions to positions on the gram (k²
+    // pair fan-out). The shipped shape is a LEFT SEMI membership test,
+    // so duplicated-position rows grow exactly ×k and the whole
+    // pipeline must stay ~linear; the span count at k>1 jumps once
+    // (every document becomes fully duplicated against its replicas)
+    // and then scales with rows, not pairs. BM25 and the weighted
+    // sampler ride along: both are scan-plus-small-join shapes whose
+    // slope should track the input count.
+    Seq(1, 4, 10).foreach { k =>
+      val docs = scaled(k).cache()
+      docs.count()
+      time(s"substr spans ${k}x")(
+        graft.ops.Search.substrSpansOf(docs, 8).count())
+      time(s"bm25 top10 ${k}x")(
+        graft.ops.Search.bm25Of(docs,
+          Seq("spark", "filter", "stream"), 10).count())
+      time(s"weighted sample ${k}x")(
+        graft.ops.Search.weightedSample(
+          docs.withColumn("source",
+            concat(lit("s"), (col("doc_id") % 8).cast("string")))
+            .withColumn("n_chars", length(col("text")).cast("long")),
+          "source", "doc_id", "n_chars", 5).count())
+      docs.unpersist()
+    }
+
     // PageRank join-strategy gap: broadcast ranks (edges never shuffle
     // for the join) vs the forced co-partitioned shuffle-hash fallback
     // (the shape once the node table outgrows a broadcast). Identical

@@ -99,6 +99,51 @@ class SearchSpec extends SparkTestBase {
     assert(got.find(_._1 == 3L).get._3 == 2L)
   }
 
+  test("decontaminateOf flags exactly the train docs sharing an eval gram") {
+    // doc 10 (eval: % 10 == 0) leaks its first 8 tokens into train doc 3;
+    // train doc 4 shares nothing; train doc 5 repeats an 8-gram of doc 3
+    // that is NOT in the eval split (must not count).
+    val leaked = (1 to 8).map(i => s"e$i").mkString(" ")
+    val trainOnly = (1 to 8).map(i => s"t$i").mkString(" ")
+    val d = docsOf(
+      10L -> s"$leaked x1 x2 x3",
+      3L -> s"pre1 $leaked $trainOnly",
+      4L -> (1 to 15).map(i => s"u$i").mkString(" "),
+      5L -> s"$trainOnly z1 z2")
+    val got = Search.decontaminateOf(d, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    // doc 3 has 10 gram positions (17 tokens), exactly 1 leaked gram at
+    // one position -> frac 0.1
+    assert(got == List((3L, 1L, 0.1)))
+  }
+
+  test("quality budget keeps the best docs per source within half the tokens") {
+    val got = graft.ops.Search.qQualityBudget(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    // brute force: replay the selection from the scored frame
+    val scored = graft.ops.Text.qualityOf(
+      Tables.documentsSpread(spark, sfDir))
+      .select("doc_id", "quality_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val base = Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "source",
+        "CAST(size(split(text, ' ', -1)) AS LONG) AS n_tokens").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val want = base.groupBy(_._2).toList.map { case (src, rows) =>
+      val budget = rows.map(_._3).sum / 2
+      val ordered = rows.sortBy { case (id, _, _) => (-scored(id), id) }
+      val kept = ordered
+        .scanLeft((0L, 0L, 0.0)) { case ((run, _, _), (id, _, nt)) =>
+          (run + nt, nt, scored(id))
+        }.drop(1).takeWhile(_._1 <= budget)
+      (src, kept.size.toLong, kept.map(_._2).sum,
+        BigDecimal(kept.map(_._3).min)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(_._1)
+    assert(got.toList == want)
+  }
+
   test("weighted sample reproduces the md5 E-S keys exactly, top-5/source") {
     val got = Search.qSampleWeighted(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
