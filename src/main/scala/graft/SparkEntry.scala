@@ -77,6 +77,7 @@ object SparkEntry {
     "q_stream_sliding" -> (graft.streaming.Streaming.qStreamSliding _),
     "q_stream_join" -> (graft.streaming.Streaming.qStreamJoin _),
     "q_stream_left_join" -> (graft.streaming.Streaming.qStreamLeftJoin _),
+    "q_stream_full_join" -> (graft.streaming.Streaming.qStreamFullJoin _),
     "q_stream_session_window" -> (graft.streaming.Streaming.qStreamSessionWindow _),
     "q_stream_dedup" -> (graft.streaming.Streaming.qStreamDedup _),
     "q_stream_upsert" -> (graft.streaming.Streaming.qStreamUpsert _),

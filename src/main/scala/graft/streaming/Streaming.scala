@@ -377,6 +377,42 @@ object Streaming {
       .orderBy("v_id", "p_id")
   }
 
+  /** Stream-stream FULL OUTER join — both unmatched directions under one
+    * watermark contract: each view picks up the purchases in its
+    * trailing hour; views with no purchase AND purchases claimed by no
+    * view both surface as null-padded rows once the 2 h watermark
+    * passes their eviction bound (Spark keeps both sides' state until
+    * then — the symmetric generalization of [[qStreamLeftJoin]]'s
+    * one-sided tail). Sentinel mechanics are identical: sentinels feed
+    * both watermark nodes; a sentinel⋈sentinel match (equal timestamps
+    * satisfy the BETWEEN) and any sentinel single carry a negative id
+    * on whichever side is present, so the null-safe projection filter
+    * drops every sentinel-bearing row while keeping the real
+    * null-padded ones.
+    */
+  def qStreamFullJoin(spark: SparkSession, dir: String): DataFrame = {
+    val (stage, maxTs) = sentinelStage(spark, dir)
+    def side(tpe: String, prefix: String) =
+      spark.readStream.schema(eventSchema).parquet(stage)
+        .select(col("user_id").as(s"${prefix}_user"),
+          expr("timestamp_seconds(unix_timestamp(ts))").as(s"${prefix}_ts"),
+          col("event_id").as(s"${prefix}_id"),
+          col("event_type").as(s"${prefix}_tpe"))
+        .withWatermark(s"${prefix}_ts", "2 hours")
+        .filter(col(s"${prefix}_tpe").isin(tpe, "sentinel"))
+        .drop(s"${prefix}_tpe")
+    val joined = side("view", "v").join(side("purchase", "p"),
+      expr("v_user = p_user AND p_ts BETWEEN v_ts - INTERVAL 1 HOUR AND v_ts"),
+      "full_outer")
+    runWithSentinelFlush(spark, stage, maxTs, joined,
+        s"graft_stream_fj_${runSeq.incrementAndGet()}")
+      .filter((col("v_id").isNull || col("v_id") >= 0) &&
+        (col("p_id").isNull || col("p_id") >= 0))
+      .select(col("v_id"), col("p_id"),
+        coalesce(col("v_user"), col("p_user")).as("user_id"))
+      .orderBy("v_id", "p_id")
+  }
+
   /** Native streaming sessionization: the `session_window` generator
     * under a watermark in Append mode — the declarative twin of
     * [[qStreamSessions]]'s custom mapGroupsWithState (same 30-minute gap
@@ -620,6 +656,17 @@ object Streaming {
         |        AND CAST(floor(epoch(v.ts)) AS BIGINT)
         |WHERE v.event_type = 'view'
         |ORDER BY v_id, p_id""".stripMargin,
+    "q_stream_full_join" ->
+      """WITH v AS (SELECT event_id AS v_id, user_id AS v_user,
+        |             CAST(floor(epoch(ts)) AS BIGINT) AS v_sec
+        |           FROM events WHERE event_type = 'view'),
+        |p AS (SELECT event_id AS p_id, user_id AS p_user,
+        |        CAST(floor(epoch(ts)) AS BIGINT) AS p_sec
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT v_id, p_id, COALESCE(v_user, p_user) AS user_id
+        |FROM v FULL JOIN p
+        |  ON v_user = p_user AND p_sec BETWEEN v_sec - 3600 AND v_sec
+        |ORDER BY v_id NULLS FIRST, p_id NULLS FIRST""".stripMargin,
     "q_stream_sliding" ->
       """SELECT strftime(to_timestamp(win_start), '%Y-%m-%d %H:%M:%S') AS win_start,
         |  event_type, COUNT(*) AS n_events FROM (
