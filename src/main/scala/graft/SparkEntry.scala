@@ -144,6 +144,7 @@ object SparkEntry {
     "q_pack_sequences" -> (Pipeline.qPackSequences _),
     "q_split_train" -> (Pipeline.qSplitTrain _),
     "q_merge_upsert" -> (Pipeline.qMergeUpsert _),
+    "q_corpus_diff" -> (Pipeline.qCorpusDiff _),
     "q_mix_sources" -> (Pipeline.qMixSources _),
     "q_bloom_join" -> (Pipeline.qBloomJoin _),
     "q_profile" -> (Profile.qProfile _),

@@ -195,6 +195,47 @@ object Pipeline {
       sum(col("price").cast(DecimalType(18, 2))).cast("double").as("total_price"))
   }
 
+  /** Corpus snapshot diff — the dataset-versioning primitive: compare
+    * two corpus snapshots by doc_id with a content fingerprint and
+    * report, per source, how many documents were added, removed,
+    * changed, and unchanged between versions. Snapshot B derives
+    * deterministically from A (doc_id % 7 == 0 removed; % 5 == 0
+    * edited in place; % 11 == 0 re-appended under a shifted id range)
+    * so the oracle reproduces it exactly. One full-outer join on
+    * doc_id — the upsert audit's single-shuffle shape, but
+    * CONTENT-addressed: "changed" is the md5 fingerprint moving, which
+    * catches in-place edits a key diff cannot; both sides reduce to
+    * (id, source, 16-byte fp) before the shuffle, so the join never
+    * moves document bodies.
+    */
+  def qCorpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val a = docs.select(col("doc_id"), col("source"),
+      md5(col("text").cast("binary")).as("fp"))
+    val bKept = docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"), col("source"),
+        md5(when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).cast("binary")).as("fp"))
+    val bAdded = docs.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+        md5(concat(col("text"), lit(" new")).cast("binary")).as("fp"))
+    val b = bKept.unionAll(bAdded)
+    a.as("a").join(b.as("b"), col("a.doc_id") === col("b.doc_id"),
+        "full_outer")
+      .select(coalesce(col("a.source"), col("b.source")).as("source"),
+        when(col("a.doc_id").isNull, "added")
+          .when(col("b.doc_id").isNull, "removed")
+          .when(col("a.fp") =!= col("b.fp"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy(col("source"))
+      .agg(
+        sum(when(col("status") === "added", 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("status") === "removed", 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("status") === "changed", 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("status") === "unchanged", 1L).otherwise(0L)).as("n_unchanged"))
+      .orderBy("source")
+  }
+
   /** Bloom-pre-filtered join: build a bloom filter over the (selective)
     * dim side's join keys, broadcast it, and drop fact rows that cannot
     * match BEFORE the join shuffle — the manual form of Spark's runtime
@@ -254,6 +295,26 @@ object Pipeline {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_corpus_diff" ->
+      """WITH a AS (SELECT doc_id, source, md5(text) AS fp FROM documents),
+        |b0 AS (SELECT doc_id, source,
+        |         md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS fp
+        |       FROM documents WHERE doc_id % 7 <> 0),
+        |badd AS (SELECT doc_id + 1000000 AS doc_id, source, md5(text || ' new') AS fp
+        |         FROM documents WHERE doc_id % 11 = 0),
+        |b AS (SELECT * FROM b0 UNION ALL SELECT * FROM badd),
+        |j AS (SELECT COALESCE(a.source, b.source) AS source,
+        |        CASE WHEN a.doc_id IS NULL THEN 'added'
+        |             WHEN b.doc_id IS NULL THEN 'removed'
+        |             WHEN a.fp <> b.fp THEN 'changed'
+        |             ELSE 'unchanged' END AS status
+        |      FROM a FULL JOIN b ON a.doc_id = b.doc_id)
+        |SELECT source,
+        |  CAST(SUM(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+        |  CAST(SUM(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  CAST(SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |  CAST(SUM(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
     "q_pack_sequences" ->
       s"""WITH t AS (
          |  SELECT source, doc_id,

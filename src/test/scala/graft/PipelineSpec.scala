@@ -139,4 +139,18 @@ class PipelineSpec extends SparkTestBase {
       .count()
     assert(kept < li.count(), "prefilter should drop non-matching rows")
   }
+
+  test("corpus diff partitions both snapshots and counts match set algebra") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val got = Pipeline.qCorpusDiff(spark, sfDir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val (added, removed, changed, unchanged) =
+      got.reduce((x, y) => (x._1 + y._1, x._2 + y._2, x._3 + y._3, x._4 + y._4))
+    // set algebra over the deterministic derivation
+    assert(added == docs.count(_ % 11 == 0))
+    assert(removed == docs.count(_ % 7 == 0))
+    assert(changed == docs.count(d => d % 7 != 0 && d % 5 == 0))
+    assert(unchanged == docs.count(d => d % 7 != 0 && d % 5 != 0))
+  }
 }
