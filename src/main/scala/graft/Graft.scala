@@ -128,6 +128,13 @@ object Graft {
       * too large to broadcast (`emb` needs a `label` column for the
       * deterministic codebook).
       */
+    /** [[batchIvf]] with the list join salted over `salt` shards — the
+      * hot-list (Zipfian cluster) configuration; identical results.
+      */
+    def batchIvfSalted(emb: DataFrame, queryPred: String,
+      nprobe: Int = 2, k: Int = 3, salt: Int = 8): DataFrame =
+      ops.Sim2.batchIvfSaltedOf(emb, queryPred, nprobe, k, salt)
+
     def batchIvf(emb: DataFrame, queryPred: String,
       nprobe: Int = 2, k: Int = 3): DataFrame =
       ops.Sim2.batchIvfOf(emb, queryPred, nprobe, k)

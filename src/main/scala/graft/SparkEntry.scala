@@ -159,6 +159,7 @@ object SparkEntry {
     "q_sim_label_coherence" -> (Sim.qSimLabelCoherence _),
     "q_sim_batch_topk" -> (graft.ops.Sim2.qSimBatchTopK _),
     "q_sim_batch_ivf" -> (graft.ops.Sim2.qSimBatchIvf _),
+    "q_sim_batch_ivf_salted" -> (graft.ops.Sim2.qSimBatchIvfSalted _),
     "q_sim_quantize" -> (graft.ops.Sim2.qSimQuantize _),
     "q_random_projection" -> (graft.ops.Embed.qRandomProjection _),
     "q_dedup_semantic" -> (graft.ops.Embed.qDedupSemantic _),

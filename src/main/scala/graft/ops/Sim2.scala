@@ -100,6 +100,11 @@ object Sim2 {
     batchIvfOf(Tables.embeddingsSpread(spark, dir), QueryPred,
       nprobe = 2, k = 3)
 
+  /** Salted twin of [[qSimBatchIvf]] (salt = 8); shares its oracle. */
+  def qSimBatchIvfSalted(spark: SparkSession, dir: String): DataFrame =
+    batchIvfSaltedOf(Tables.embeddingsSpread(spark, dir), QueryPred,
+      nprobe = 2, k = 3, salt = 8)
+
   /** Batch IVF over any embeddings frame (needs `label` for the
     * deterministic codebook); rows matching `queryPred` are the queries.
     *
@@ -110,13 +115,50 @@ object Sim2 {
     * vectors, ~30 k lists ≫ any cluster's task slots); this gate's
     * fixed label codebook (~10 lists) would be the wrong deployment
     * geometry, not a different join. If list sizes are skewed anyway
-    * (they will be — natural clusters are Zipfian), salt the hot lists
-    * exactly as the salted-join lane does: replicate each hot list's
-    * queries over `s` salt values and append `pmod(hash(vec_id), s)`
-    * to the corpus side's key.
+    * (they will be — natural clusters are Zipfian), use
+    * [[batchIvfSaltedOf]]: the same plan with the hot-list join salted
+    * exactly as the salted-join lane does.
     */
   def batchIvfOf(emb: DataFrame, queryPred: String,
     nprobe: Int, k: Int): DataFrame = {
+    val (corpus, queries) = ivfSides(emb, queryPred, nprobe)
+    topKPerQuery(
+      corpus.join(queries, "lst")
+        .select(col("q_id"), col("vec_id"),
+          round(expr("cosine_sim(embedding, q_emb)"), 6).as("cos")),
+      k)
+  }
+
+  /** [[batchIvfOf]] with the list-id scoring join SALTED — the cure for
+    * the list-cardinality parallelism floor when list sizes are
+    * Zipfian: the (big) corpus side appends a deterministic
+    * `vec_id % salt` shard to its key, the (small) query side
+    * replicates each probe row across all `salt` shards, and the join
+    * keys on (list, shard) — per-task work on a hot list drops ~salt×
+    * for the price of salt copies of the probe rows, the exact trade
+    * `Skew.qSaltedJoin` ships for relational skew. Results are
+    * identical by construction, and the gate proves it: the
+    * `q_sim_batch_ivf_salted` query shares `q_sim_batch_ivf`'s oracle
+    * SQL verbatim (the unsalted formulation).
+    */
+  def batchIvfSaltedOf(emb: DataFrame, queryPred: String,
+    nprobe: Int, k: Int, salt: Int): DataFrame = {
+    val (corpus, queries) = ivfSides(emb, queryPred, nprobe)
+    val c = corpus.withColumn("shard", pmod(col("vec_id"), lit(salt.toLong)))
+    val q = queries.withColumn("shard",
+      explode(sequence(lit(0L), lit(salt.toLong - 1))))
+    topKPerQuery(
+      c.join(q, Seq("lst", "shard"))
+        .select(col("q_id"), col("vec_id"),
+          round(expr("cosine_sim(embedding, q_emb)"), 6).as("cos")),
+      k)
+  }
+
+  /** Shared IVF assignment: (corpus rows with nearest list, query rows
+    * replicated over their nprobe nearest lists).
+    */
+  private def ivfSides(emb: DataFrame, queryPred: String, nprobe: Int)
+    : (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
     val e = emb
@@ -136,11 +178,7 @@ object Sim2 {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       .join(ranked.filter(col("rn") <= nprobe)
         .select(col("vec_id").as("q_id"), col("c_label").as("lst")), "q_id")
-    topKPerQuery(
-      corpus.join(queries, "lst")
-        .select(col("q_id"), col("vec_id"),
-          round(expr("cosine_sim(embedding, q_emb)"), 6).as("cos")),
-      k)
+    (corpus, queries)
   }
 
   /** Int8 scalar quantization fidelity: per vector, min/max-scaled codes in
@@ -172,30 +210,8 @@ object Sim2 {
       .orderBy("vec_id")
   }
 
-  val oracles: Map[String, String] = Map(
-    "q_sim_batch_topk" ->
-      """WITH q AS (
-        |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
-        |  WHERE vec_id % 100 = 0),
-        |c AS (
-        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 <> 0),
-        |s AS (
-        |  SELECT q.q_id, c.vec_id,
-        |    round(list_sum(list_transform(list_zip(c.embedding, q.q_emb),
-        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-        |      / (sqrt(list_sum(list_transform(c.embedding,
-        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-        |         * sqrt(list_sum(list_transform(q.q_emb,
-        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos_sim
-        |  FROM c CROSS JOIN q)
-        |SELECT q_id, CAST(rn AS INT) AS rank, vec_id, cos_sim FROM (
-        |  SELECT q_id, vec_id, cos_sim,
-        |    row_number() OVER (PARTITION BY q_id
-        |      ORDER BY cos_sim DESC, vec_id ASC) AS rn
-        |  FROM s) WHERE rn <= 3
-        |ORDER BY q_id, rank""".stripMargin,
-    "q_sim_batch_ivf" ->
-      """WITH cm AS (
+  private lazy val batchIvfOracle: String =
+    """WITH cm AS (
         |  SELECT label, pos,
         |    CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE)
         |      / COUNT(*) AS m
@@ -234,7 +250,34 @@ object Sim2 {
         |    row_number() OVER (PARTITION BY q_id
         |      ORDER BY cos_sim DESC, vec_id ASC) AS rn
         |  FROM s) WHERE rn <= 3
+        |ORDER BY q_id, rank""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_sim_batch_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+        |  WHERE vec_id % 100 = 0),
+        |c AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 <> 0),
+        |s AS (
+        |  SELECT q.q_id, c.vec_id,
+        |    round(list_sum(list_transform(list_zip(c.embedding, q.q_emb),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(c.embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(q.q_emb,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos_sim
+        |  FROM c CROSS JOIN q)
+        |SELECT q_id, CAST(rn AS INT) AS rank, vec_id, cos_sim FROM (
+        |  SELECT q_id, vec_id, cos_sim,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos_sim DESC, vec_id ASC) AS rn
+        |  FROM s) WHERE rn <= 3
         |ORDER BY q_id, rank""".stripMargin,
+    "q_sim_batch_ivf" -> batchIvfOracle,
+    // the salted twin is an execution-strategy change only — sharing the
+    // unsalted oracle verbatim IS the results-identical proof
+    "q_sim_batch_ivf_salted" -> batchIvfOracle,
     "q_sim_quantize" ->
       """WITH b AS (
         |  SELECT vec_id,
