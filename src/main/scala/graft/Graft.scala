@@ -48,9 +48,14 @@ object Graft {
 
   /** Deduplication toolbox over any (doc_id LONG, text STRING) frame. */
   object dedup {
-    /** MinHash + banded-LSH candidate pairs (16 perms, 4×4 bands). */
-    def minhashCandidates(docs: DataFrame): DataFrame =
-      ops.Dedup.minhashPairsOf(docs)
+    /** MinHash + banded-LSH candidate pairs (16 perms, 4×4 bands).
+      * Band buckets hotter than `bucketCap` are dropped before the
+      * pair join (boilerplate guard — exact dedup owns identical
+      * texts); pass Long.MaxValue for the uncapped control.
+      */
+    def minhashCandidates(docs: DataFrame,
+      bucketCap: Long = ops.Dedup.MinhashBandCap): DataFrame =
+      ops.Dedup.minhashPairsOf(docs, bucketCap)
 
     /** Exact n-gram Jaccard over co-shingle pairs with J ≥ minJ.
       * `dfCap` drops shingles hotter than the cap before pair emission
@@ -128,16 +133,16 @@ object Graft {
       * too large to broadcast (`emb` needs a `label` column for the
       * deterministic codebook).
       */
+    def batchIvf(emb: DataFrame, queryPred: String,
+      nprobe: Int = 2, k: Int = 3): DataFrame =
+      ops.Sim2.batchIvfOf(emb, queryPred, nprobe, k)
+
     /** [[batchIvf]] with the list join salted over `salt` shards — the
       * hot-list (Zipfian cluster) configuration; identical results.
       */
     def batchIvfSalted(emb: DataFrame, queryPred: String,
       nprobe: Int = 2, k: Int = 3, salt: Int = 8): DataFrame =
       ops.Sim2.batchIvfSaltedOf(emb, queryPred, nprobe, k, salt)
-
-    def batchIvf(emb: DataFrame, queryPred: String,
-      nprobe: Int = 2, k: Int = 3): DataFrame =
-      ops.Sim2.batchIvfOf(emb, queryPred, nprobe, k)
 
     /** Int8 scalar-quantization fidelity report per vector. */
     def quantizeFidelity(emb: DataFrame): DataFrame =
@@ -203,6 +208,9 @@ object Graft {
     /** Corpus-trained unigram-LM mean log-prob per document — the
       * model-free fluency/quality score.
       */
+    def unigramLmScores(docs: DataFrame): DataFrame =
+      ops.Text2.unigramLmScores(docs)
+
     /** Exact tokens at ≥ permille/1000 of all positions via the
       * count-min two-pass (sketch prefilter, exact verify) — bounded
       * memory at any vocabulary size; `tokens` is one STRING column `t`.
@@ -215,9 +223,6 @@ object Graft {
       */
     def heavyHitterEstimates(tokens: DataFrame): DataFrame =
       ops.HeavyHitters.estimates(tokens)
-
-    def unigramLmScores(docs: DataFrame): DataFrame =
-      ops.Text2.unigramLmScores(docs)
 
     /** Fuzzy self-join: all distinct values of `name` within
       * Levenshtein `maxDist`, via gram blocking (lossless — short
@@ -239,7 +244,7 @@ object Graft {
       ops.Search.bm25Of(docs, terms, k)
 
     /** Cross-corpus n-gram decontamination: training docs sharing any
-      * `l`-token gram with the held-out split (doc_id % 50 == 0 here),
+      * `l`-token gram with the held-out split (doc_id % 10 == 0 here),
       * with leaked-gram counts and position coverage.
       */
     def decontaminate(docs: DataFrame, l: Int = 8): DataFrame =

@@ -13,8 +13,9 @@ import graft.Tables
   * aggregate by a bounded key → self-join only within LSH buckets". The
   * candidate-pair join is always on an LSH key (band signature / bucket
   * bits), never all-pairs, so the shuffle volume is O(docs × perms) and the
-  * join fan-out is bounded by bucket occupancy — the same shape survives
-  * 100 TB with salting on hot buckets if a bucket ever grows pathological.
+  * join fan-out is bounded by bucket occupancy — and every pair-emitting
+  * key is CAPPED (the MinHash band cap, the Jaccard dfCap), so no hot
+  * bucket can ever turn a bucketed join quadratic at 100 TB.
   *
   * Determinism: permutation hashes are md5 strings (identical in Spark and
   * DuckDB), min-hashing is lexicographic MIN over those strings, so the
@@ -81,14 +82,41 @@ object Dedup {
     minhashPairsOf(Tables.documentsSpread(spark, dir))
       .orderBy("doc_a", "doc_b")
 
+  /** Band buckets hotter than this are dropped before the pair
+    * self-join (see [[minhashPairsOf]]). 64 is far above any bucket a
+    * near-dup cluster produces (clusters are small by construction)
+    * and far below the occupancy where the O(b²) pair emission hurts —
+    * on the gate corpora the deepest bucket holds 2 docs, so the cap
+    * never fires there and the capped pipeline is bit-identical to the
+    * exact one; on a boilerplate-replicated corpus it is the difference
+    * between linear and quadratic candidate growth (ScaleProbe's
+    * `minhash cap` rows).
+    */
+  val MinhashBandCap = 64L
+
   /** The MinHash+LSH candidate pipeline over any (doc_id, text) frame.
     * No shingle-distinct here: MIN is duplicate-insensitive, so skipping
     * the dedup shuffle changes nothing. All 16 permutation minima are
     * computed as 16 agg columns in ONE groupBy(doc_id) — map-side
     * partial mins, a single shuffle of 16 longs per doc, no row
     * explosion. Band keys are then a narrow per-doc projection.
+    *
+    * `bucketCap` bounds the self-join fan-out: a (band, band_key)
+    * bucket holding b docs emits b(b−1)/2 candidate pairs, and a
+    * boilerplate-heavy corpus (many docs sharing identical band
+    * minima — the exact corpus dedup is FOR) makes one bucket
+    * quadratic. Buckets above the cap are found by a count-only
+    * prepass (hot buckets are by definition few — they broadcast) and
+    * anti-joined out before any pair is emitted — the same
+    * prepass + anti-join the Jaccard dfCap and fuzzy-join caps use.
+    * Semantics of the drop: a bucket with more than `bucketCap`
+    * members is boilerplate, and boilerplate duplication is owned by
+    * the EXACT dedup stage (identical texts have identical
+    * fingerprints); near-dup pairs that share any cold band survive.
+    * Pass Long.MaxValue for the exact uncapped control.
     */
-  def minhashPairsOf(docs: DataFrame): DataFrame = {
+  def minhashPairsOf(docs: DataFrame,
+    bucketCap: Long = MinhashBandCap): DataFrame = {
     val sh = docs
       .withColumn("w", split(lower(col("text")), " ", -1))
       .select(col("doc_id"), explode(expr(
@@ -110,8 +138,16 @@ object Dedup {
       .select(col("doc_id"), explode(expr(bandStructs)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"),
         col("bs.band_key").as("band_key"))
-    val a = bands.as("a")
-    val b = bands.as("b")
+    val kept =
+      if (bucketCap == Long.MaxValue) bands
+      else {
+        val hot = bands.groupBy(col("band"), col("band_key"))
+          .agg(count(lit(1)).as("occ")).filter(col("occ") > bucketCap)
+          .select(col("band"), col("band_key"))
+        bands.join(broadcast(hot), Seq("band", "band_key"), "left_anti")
+      }
+    val a = kept.as("a")
+    val b = kept.as("b")
     a.join(b, col("a.band") === col("b.band")
         && col("a.band_key") === col("b.band_key")
         && col("a.doc_id") < col("b.doc_id"))
@@ -516,9 +552,16 @@ object Dedup {
        |  FROM hs GROUP BY doc_id),
        |bands AS (
        |$bandRows),
+       |hotb AS (
+       |  SELECT band, band_key FROM bands
+       |  GROUP BY band, band_key HAVING COUNT(*) > $MinhashBandCap),
+       |kb AS (
+       |  SELECT * FROM bands bb
+       |  WHERE NOT EXISTS (SELECT 1 FROM hotb h
+       |    WHERE h.band = bb.band AND h.band_key = bb.band_key)),
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b ON a.band = b.band
+       |  FROM kb a JOIN kb b ON a.band = b.band
        |    AND a.band_key = b.band_key AND a.doc_id < b.doc_id)""".stripMargin
   }
 

@@ -62,6 +62,10 @@ object Search {
     * gram and alias it with a real shorter gram).
     */
   private[ops] def tokenGrams(docs: DataFrame, L: Int): DataFrame = {
+    // L=1 would make t_last = lead(t, 0) = t and the "gram" the token
+    // concatenated with itself — silently wrong through the public
+    // substrSpans/decontaminate surface, so reject it outright.
+    require(L >= 2, s"gram length must be >= 2 tokens, got $L")
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
     docs
       .select(col("doc_id"),
@@ -176,15 +180,18 @@ object Search {
   def weightedSample(df: DataFrame, group: String, id: String,
     weight: String, k: Int): DataFrame = {
     val draw = Text.sampleDraw(s"CAST(CAST($id AS STRING) AS BINARY)")
+    // The key is rounded to the emitted precision BEFORE ranking (with
+    // id as tiebreak) — ordering by the raw double would let a
+    // cross-engine ln() ULP difference at the rank-k boundary select
+    // different rows; the q_tfidf_top/bm25 precedent.
     val w = Window.partitionBy(col(group))
       .orderBy(col("es_key").desc, col(id).asc)
     df
       .withColumn("es_key",
-        expr(s"ln((($draw) + 1) / 1002.0) / $weight"))
+        round(expr(s"ln((($draw) + 1) / 1002.0) / $weight"), 6))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
-      .select(col(group), col("rk"), col(id), col(weight),
-        round(col("es_key"), 6).as("es_key"))
+      .select(col(group), col("rk"), col(id), col(weight), col("es_key"))
   }
 
   // -------------------------------------------------------- decontaminate
@@ -351,14 +358,14 @@ object Search {
       val draw = Text.sampleDraw("CAST(doc_id AS VARCHAR)")
       s"""WITH k AS (
          |  SELECT source, doc_id, n_chars,
-         |    ln((($draw) + 1) / 1002.0) / n_chars AS es_key
+         |    ROUND(ln((($draw) + 1) / 1002.0) / n_chars, 6) AS es_key
          |  FROM documents),
          |r AS (SELECT source, doc_id, n_chars, es_key,
          |        CAST(row_number() OVER (
          |          PARTITION BY source ORDER BY es_key DESC, doc_id ASC)
          |          AS BIGINT) AS rk
          |      FROM k)
-         |SELECT source, rk, doc_id, n_chars, ROUND(es_key, 6) AS es_key
+         |SELECT source, rk, doc_id, n_chars, es_key
          |FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin
     })
 }

@@ -43,6 +43,29 @@ object ScaleProbe {
       println(f"[scale-probe] $tag%-22s ${(System.nanoTime() - t0) / 1e9}%7.2f s  ($n rows)")
     }
 
+    // MinHash band-bucket cap contrast on a BOILERPLATE corpus: every
+    // doc_id % 50 == 0 document gets one shared template text, so all
+    // its band buckets go hot together and their occupancy grows ×k
+    // with replication — uncapped candidate pairs grow ~k² (the b²/2
+    // hot-bucket emission), while the capped default drops those
+    // buckets in the count-prepass and stays ~flat (boilerplate
+    // duplication belongs to the exact-dedup stage, which catches the
+    // identical fingerprints in one groupBy).
+    Seq(1, 4, 10).foreach { k =>
+      val docs = scaled(k)
+        .withColumn("text", when(col("doc_id") % 50 === 0,
+          lit("this document is provided as is without warranty of any " +
+            "kind either express or implied including fitness for purpose"))
+          .otherwise(col("text")))
+        .cache()
+      docs.count()
+      time(s"minhash boiler uncapped ${k}x")(
+        graft.ops.Dedup.minhashPairsOf(docs, Long.MaxValue).count())
+      time(s"minhash boiler cap64 ${k}x")(
+        graft.ops.Dedup.minhashPairsOf(docs).count())
+      docs.unpersist()
+    }
+
     Seq(1, 4, 10).foreach { k =>
       val docs = scaled(k).cache()
       docs.count() // materialize outside the timed region

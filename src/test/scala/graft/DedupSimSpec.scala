@@ -23,6 +23,36 @@ class DedupSimSpec extends SparkTestBase {
     assert(falsePos.isEmpty, s"minhash false positives: $falsePos")
   }
 
+  test("minhash band cap: no-op on the gate corpus, hot buckets dropped, cold pairs kept") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    def pairs(df: org.apache.spark.sql.DataFrame, cap: Long) =
+      Dedup.minhashPairsOf(df, cap).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 1. the gate corpus has no bucket above the cap: capped == exact
+    val capped = pairs(docs, Dedup.MinhashBandCap)
+    val exact = pairs(docs, Long.MaxValue)
+    assert(capped == exact,
+      "cap must not fire on the gate corpus (deepest bucket is 2 docs)")
+    // 2. plant a hot bucket: 100 identical boilerplate docs share every
+    //    band bucket (occupancy 100 > cap) — C(100,2)=4950 pairs uncapped
+    val boiler = (100000L until 100100L).toDF("doc_id")
+      .withColumn("text",
+        lit("alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+    val mixed = docs.union(boiler.select(col("doc_id"), col("text")))
+    val mixedUncapped = pairs(mixed, Long.MaxValue)
+    assert(mixedUncapped.count { case (a, b) => a >= 100000L && b >= 100000L }
+      == 100 * 99 / 2, "uncapped control must emit the full quadratic bucket")
+    // 3. capped: the boilerplate bucket is dropped whole, and every pair
+    //    between ORGANIC docs survives untouched (their buckets are cold)
+    val mixedCapped = pairs(mixed, Dedup.MinhashBandCap)
+    assert(!mixedCapped.exists { case (a, b) => a >= 100000L || b >= 100000L },
+      "hot-bucket members must emit no pairs")
+    assert(mixedCapped == capped,
+      "cold-bucket pairs must be unaffected by the cap")
+  }
+
   test("native cosine expression == declarative zip_with/aggregate") {
     val a = Sim.qSimTopK(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getDouble(1))).toSeq

@@ -160,7 +160,12 @@ class SearchSpec extends SparkTestBase {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     val want = docs.groupBy(_._1).toList.flatMap { case (src, rows) =>
       rows.map { case (_, id, w) =>
-        (id, math.log((draw(id) + 1) / 1002.0) / w)
+        // rank by the key ROUNDED to the emitted 6 decimals (id as
+        // tiebreak) — ordering by the raw double would let an ln() ULP
+        // difference at the rank-k boundary flip the selection between
+        // engines, so the operator pins the rounded order
+        (id, BigDecimal(math.log((draw(id) + 1) / 1002.0) / w)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
       }.sortBy { case (id, k) => (-k, id) }
         .take(5).zipWithIndex
         .map { case ((id, _), i) => (src, i.toLong + 1, id) }
