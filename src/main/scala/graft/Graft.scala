@@ -205,6 +205,14 @@ object Graft {
     def pmiBigrams(docs: DataFrame, minCount: Int = 3, k: Int = 15): DataFrame =
       ops.Text2.pmiBigramsOf(docs, minCount, k)
 
+    /** BPE merge-loop training: `k` iterations of count-pairs → pick
+      * the most frequent (deterministic ties) → greedy leftmost
+      * non-overlapping merge; returns the learned merge table
+      * (iter, pair_a, pair_b, pair_count).
+      */
+    def bpeMerges(docs: DataFrame, k: Int = ops.Bpe.BpeIterations): DataFrame =
+      ops.Bpe.bpeMergesOf(docs, k)
+
     /** Corpus-trained unigram-LM mean log-prob per document — the
       * model-free fluency/quality score.
       */

@@ -116,6 +116,7 @@ object SparkEntry {
     "q_heavy_hitters" -> (graft.ops.HeavyHitters.qHeavyHitters _),
     "q_tfidf_top" -> (Text.qTfidfTop _),
     "q_pmi_bigrams" -> (graft.ops.Text2.qPmiBigrams _),
+    "q_bpe_merges" -> (graft.ops.Bpe.qBpeMerges _),
     "q_sample_stratified" -> (Text.qSampleStratified _),
     "q_fingerprint_rolling" -> (Text.qFingerprintRolling _),
     "q_mm_frames" -> (Multimodal.qMmFrames _),
@@ -359,7 +360,8 @@ object SparkEntry {
         |  COUNT(DISTINCT l_partkey) AS n_parts,
         |  TRUE AS approx_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-  ) ++ Text.oracles ++ graft.ops.Text2.oracles ++ Dedup.oracles ++ Pipeline.oracles ++
+  ) ++ Text.oracles ++ graft.ops.Text2.oracles ++ graft.ops.Bpe.oracles ++
+    Dedup.oracles ++ Pipeline.oracles ++
     Profile.oracles ++ Sim.oracles ++ graft.ops.Sim2.oracles ++
     Events.oracles ++ graft.ops.Events2.oracles ++
     Multimodal.oracles ++ Relational2.oracles ++ Relational3.oracles ++

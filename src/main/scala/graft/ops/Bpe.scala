@@ -1,0 +1,161 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** BPE merge-loop training (Sennrich et al. 2016, "Neural Machine
+  * Translation of Rare Words with Subword Units" — the byte-pair-encoding
+  * tokenizer-training loop, run at token granularity over the corpus):
+  * iterate k times
+  *   1. count adjacent symbol pairs over the whole sequence stream,
+  *   2. pick the most frequent pair (ties: lexicographic (a, b) asc —
+  *      deterministic across engines and partitionings),
+  *   3. merge every NON-OVERLAPPING, LEFTMOST-FIRST occurrence of that
+  *      pair into one symbol,
+  * and emit the learned merge table (iteration, pair, count at selection
+  * time) — the tokenizer-training artifact a pipeline ships alongside the
+  * corpus. [[Text2.qPmiBigrams]] ranks the same adjacent-pair signal
+  * statistically; this is the loop that actually consumes it.
+  *
+  * Scale shape, per iteration: each document's symbol sequence lives as
+  * ONE separator-joined string, so the pair stream is a narrow
+  * split+transform (no per-position rows, no windows), pair counts are a
+  * map-side-combined groupBy on the pair key — the single shuffle of the
+  * iteration — and the argmax is orderBy+limit(1) →
+  * TakeOrderedAndProject (per-partition heap, ONE row to the driver —
+  * bounded at any corpus size, not a row-scale collect). The merge
+  * rewrite is a single codegen'd regexp_replace per iteration: Java's
+  * matcher replaces LEFTMOST, NON-OVERLAPPING occurrences scanning left
+  * to right, which is exactly BPE's greedy merge rule ("a a a a" with
+  * pair (a,a) → "(a a) (a a)", never the overlapping forms); lookaround
+  * anchors keep token boundaries unconsumed so back-to-back occurrences
+  * both merge. k chained narrow projections need no checkpointing. At
+  * 100 TB the standard move is to learn merges on a hash-sampled slice
+  * (the merge table converges long before the full corpus is counted)
+  * and apply them corpus-wide in one pass — same operators, one filter.
+  *
+  * The DuckDB oracle is DELIBERATELY a different algorithm — per-position
+  * rows, run-islands, and the odd-offset parity rule for overlapping
+  * matches — so the gate checks the merge semantics themselves, not a
+  * shared formulation's blind spots ([[BpeSpec]] additionally replays a
+  * third, plain-Scala sequential model).
+  */
+object Bpe {
+
+  /** Symbol-boundary separator inside the per-doc sequence string —
+    * a control char that tokenization (split on ' ') can never emit for
+    * the corpora at hand; merged symbols join with a plain space.
+    */
+  private val Sep = "\u0001"
+
+  val BpeIterations = 5
+
+  def qBpeMerges(spark: SparkSession, dir: String): DataFrame =
+    bpeMergesOf(Tables.documentsSpread(spark, dir), BpeIterations)
+
+  /** The learned merge table (iter, pair_a, pair_b, pair_count) over any
+    * (doc_id, text, ...) frame.
+    */
+  def bpeMergesOf(docs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"need at least one merge iteration, got $k")
+    val spark = docs.sparkSession
+    // (doc_id, s): the symbol sequence as one Sep-joined string with a
+    // Sep at BOTH ends, so every symbol boundary (incl. first/last) is
+    // marked and the merge regex can anchor on it
+    var seq = docs.select(col("doc_id"), expr(
+      s"""concat('$Sep', array_join(
+         |  filter(split(lower(text), ' ', -1), t -> t != ''), '$Sep'),
+         |  '$Sep')""".stripMargin).as("s"))
+    // the symbol array back out of s (empties are the two end markers)
+    val w = s"filter(split(s, '$Sep', -1), t -> t != '')"
+    val pairsCol = expr(
+      s"""CASE WHEN size($w) >= 2 THEN
+         |  transform(sequence(1, size($w) - 1),
+         |    i -> struct(element_at($w, i) AS a, element_at($w, i + 1) AS b))
+         |ELSE CAST(NULL AS ARRAY<STRUCT<a: STRING, b: STRING>>) END"""
+        .stripMargin)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    for (i <- 1 to k) {
+      val bestRows = seq.select(explode(pairsCol).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (bestRows.nonEmpty) {
+        val (a, b, c) =
+          (bestRows(0).getString(0), bestRows(0).getString(1), bestRows(0).getLong(2))
+        merges += ((i.toLong, a, b, c))
+        // leftmost non-overlapping replace == the BPE merge rule; the
+        // boundary Seps sit in lookarounds (unconsumed), so back-to-back
+        // occurrences both merge. The chosen pair enters as literals —
+        // the rewrite stays one codegen'd projection.
+        val pat = s"(?<=$Sep)" +
+          java.util.regex.Pattern.quote(s"$a$Sep$b") + s"(?=$Sep)"
+        val rep = java.util.regex.Matcher.quoteReplacement(s"$a $b")
+        seq = seq.withColumn("s", regexp_replace(col("s"), pat, rep))
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("iter", "pair_a", "pair_b", "pair_count")
+      .orderBy("iter")
+  }
+
+  /** One unrolled oracle iteration: seq$i → best$i (the argmax pair) and
+    * seq${i+1} (the merged sequence) — the same window/island/parity
+    * recipe as the Spark side, in portable SQL.
+    */
+  private def iterCte(i: Int): String =
+    s"""p$i AS (
+       |  SELECT doc_id, pos, tok,
+       |    lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+       |  FROM seq$i),
+       |best$i AS (
+       |  SELECT tok AS a, nxt AS b, COUNT(*) AS c FROM p$i
+       |  WHERE nxt IS NOT NULL GROUP BY tok, nxt
+       |  ORDER BY c DESC, a ASC, b ASC LIMIT 1),
+       |mp$i AS (
+       |  SELECT doc_id, pos FROM (
+       |    SELECT doc_id, pos,
+       |      row_number() OVER (PARTITION BY doc_id, isl ORDER BY pos) AS off
+       |    FROM (
+       |      SELECT h.doc_id, h.pos,
+       |        h.pos - row_number() OVER (PARTITION BY h.doc_id ORDER BY h.pos) AS isl
+       |      FROM p$i h CROSS JOIN best$i b
+       |      WHERE h.tok = b.a AND h.nxt = b.b))
+       |  WHERE off % 2 = 1),
+       |dr$i AS (
+       |  SELECT h.doc_id, h.pos,
+       |    CASE WHEN mp.pos IS NOT NULL THEN h.tok || ' ' || h.nxt
+       |         ELSE h.tok END AS tok,
+       |    lag(CASE WHEN mp.pos IS NOT NULL THEN 1 ELSE 0 END, 1, 0)
+       |      OVER (PARTITION BY h.doc_id ORDER BY h.pos) AS drp
+       |  FROM p$i h LEFT JOIN mp$i mp
+       |    ON h.doc_id = mp.doc_id AND h.pos = mp.pos),
+       |seq${i + 1} AS (
+       |  SELECT doc_id,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS pos, tok
+       |  FROM dr$i WHERE drp = 0)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_bpe_merges" -> {
+      val iters = (1 to BpeIterations).map(iterCte).mkString(",\n")
+      val out = (1 to BpeIterations)
+        .map(i => s"SELECT CAST($i AS BIGINT) AS iter, a AS pair_a, " +
+          s"b AS pair_b, c AS pair_count FROM best$i")
+        .mkString("\nUNION ALL\n")
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+         |p0 AS (
+         |  SELECT doc_id, unnest(generate_series(1, len(w))) AS p, w FROM t),
+         |s0 AS (SELECT doc_id, p, w[p] AS tok FROM p0 WHERE w[p] <> ''),
+         |seq1 AS (
+         |  SELECT doc_id,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY p) AS pos, tok
+         |  FROM s0),
+         |$iters
+         |$out
+         |ORDER BY iter""".stripMargin
+    })
+}

@@ -105,10 +105,13 @@ object Dedup {
     * bucket holding b docs emits b(b−1)/2 candidate pairs, and a
     * boilerplate-heavy corpus (many docs sharing identical band
     * minima — the exact corpus dedup is FOR) makes one bucket
-    * quadratic. Buckets above the cap are found by a count-only
-    * prepass (hot buckets are by definition few — they broadcast) and
-    * anti-joined out before any pair is emitted — the same
-    * prepass + anti-join the Jaccard dfCap and fuzzy-join caps use.
+    * quadratic. Bucket occupancy is counted by a window over the SAME
+    * (band, band_key) exchange the pair join consumes — zero extra
+    * passes over the corpus (the Jaccard/fuzzy lanes use a count-
+    * prepass + anti-join instead because their posting frame feeds a
+    * groupBy, not a key-partitioned join; here the join's own shuffle
+    * is the free ride). Rows in buckets above the cap are filtered
+    * before any pair is emitted.
     * Semantics of the drop: a bucket with more than `bucketCap`
     * members is boilerplate, and boilerplate duplication is owned by
     * the EXACT dedup stage (identical texts have identical
@@ -141,10 +144,19 @@ object Dedup {
     val kept =
       if (bucketCap == Long.MaxValue) bands
       else {
-        val hot = bands.groupBy(col("band"), col("band_key"))
-          .agg(count(lit(1)).as("occ")).filter(col("occ") > bucketCap)
-          .select(col("band"), col("band_key"))
-        bands.join(broadcast(hot), Seq("band", "band_key"), "left_anti")
+        // Occupancy via ONE window over the (band, band_key) exchange
+        // the pair join needs anyway — unlike a count-prepass +
+        // broadcast anti-join, this adds NO second signature pass (the
+        // plan-audit found the prepass recomputing the full md5/min
+        // pipeline: subtree canonicalization diverges across the join
+        // sides, so nothing was reused and the "cheap" prepass doubled
+        // the query). Hot buckets empty out entirely: every member row
+        // fails occ <= cap together.
+        import org.apache.spark.sql.expressions.Window
+        val wB = Window.partitionBy(col("band"), col("band_key"))
+        bands.withColumn("occ", count(lit(1)).over(wB))
+          .filter(col("occ") <= bucketCap)
+          .drop("occ")
       }
     val a = kept.as("a")
     val b = kept.as("b")

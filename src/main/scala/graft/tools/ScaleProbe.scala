@@ -44,16 +44,16 @@ object ScaleProbe {
     }
 
     // MinHash band-bucket cap contrast on a BOILERPLATE corpus: every
-    // doc_id % 50 == 0 document gets one shared template text, so all
+    // doc_id % 5 == 0 document gets one shared template text, so all
     // its band buckets go hot together and their occupancy grows ×k
     // with replication — uncapped candidate pairs grow ~k² (the b²/2
-    // hot-bucket emission), while the capped default drops those
-    // buckets in the count-prepass and stays ~flat (boilerplate
-    // duplication belongs to the exact-dedup stage, which catches the
-    // identical fingerprints in one groupBy).
+    // hot-bucket emission: 0.5 M pairs at 1x, 50 M at 10x), while the
+    // capped default filters those buckets on the occupancy window and
+    // stays ~linear (boilerplate duplication belongs to the exact-dedup
+    // stage, which catches identical fingerprints in one groupBy).
     Seq(1, 4, 10).foreach { k =>
       val docs = scaled(k)
-        .withColumn("text", when(col("doc_id") % 50 === 0,
+        .withColumn("text", when(col("doc_id") % 5 === 0,
           lit("this document is provided as is without warranty of any " +
             "kind either express or implied including fitness for purpose"))
           .otherwise(col("text")))
