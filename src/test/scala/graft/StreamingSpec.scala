@@ -107,6 +107,33 @@ class StreamingSpec extends SparkTestBase {
       "expected a versioned store with >= 2 merge rounds")
   }
 
+  test("RocksDB state store provider: gate queries byte-identical to default") {
+    // The 100 TB streaming deployment runs the RocksDB provider (join /
+    // session state outgrows the in-memory HDFS-backed store). Re-run
+    // two gate queries — the stream-stream join (two buffered sides)
+    // and the mapGroupsWithState session window (custom state class) —
+    // under the provider and require the exact default-provider rows,
+    // i.e. the same rows the DuckDB oracle hash-checks.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq
+    val defJoin = rows(Streaming.qStreamJoin(spark, sfDir))
+    val defSess = rows(Streaming.qStreamSessionWindow(spark, sfDir))
+    assert(defJoin.nonEmpty && defSess.nonEmpty)
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      assert(rows(Streaming.qStreamJoin(spark, sfDir)) == defJoin,
+        "stream-stream join result changed under RocksDB")
+      assert(rows(Streaming.qStreamSessionWindow(spark, sfDir)) == defSess,
+        "session-window result changed under RocksDB")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("checkpoint resume processes only newly arrived files") {
     import org.apache.spark.sql.functions._
     // landing zone with half the events; fixed checkpoint dir
