@@ -39,11 +39,21 @@ object Bench {
           .limit(1000).groupBy("l_returnflag").count().count()
         spark.read.parquet(s"$sfDir/documents.parquet").limit(10).count()
       } catch { case _: Throwable => }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    // Optional skip list (comma-separated names) for scaled stages where
+    // a deliberately-uncapped CONTROL query is known-quadratic (e.g. the
+    // 100x text stage): the driver's own runs leave this unset and time
+    // everything. Skips are RECORDED in the artifact — a silent cap
+    // would read as "covered everything".
+    val skip = sys.env.get("SPARK_GRAFT_BENCH_SKIP")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => !skip.contains(name) }
+      .map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
     // The harness keeps only the last ~2000 chars of the sbt output (and
     // sbt's own "[success] …" epilogue eats ~80 of them), so the JSON line
     // must stay under ~1.9 KB or it is truncated mid-line and never parses
@@ -93,15 +103,24 @@ object Bench {
     // The stdout cap only constrains the driver's one-line summary — the
     // COMPLETE per-query map goes to a committed artifact so every
     // query's trend is diffable round over round, not just the headline
-    // set. (Overwritten on each bench run; sorted keys for clean diffs.)
+    // set. Named per scale dir (BENCH_FULL_<dir>.json) so one bench run
+    // at another stage can never clobber the sf0.1 trend file; the bare
+    // BENCH_FULL.json stays as the sf0.1 copy for diff continuity.
     val full = results.sortBy(_._1)
       .map { case (k, v) => s"""  "$k": ${f3(v)}""" }
       .mkString("{\n", ",\n", "\n}")
-    val out = new java.io.PrintWriter("BENCH_FULL.json")
-    try out.println(
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir",
-         |"queries":$full}""".stripMargin)
-    finally out.close()
+    val skipped = skip.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val dirName = new java.io.File(sfDir).getName
+    def writeArtifact(path: String): Unit = {
+      val out = new java.io.PrintWriter(path)
+      try out.println(
+        s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir",
+           |"skipped":$skipped,
+           |"queries":$full}""".stripMargin)
+      finally out.close()
+    }
+    writeArtifact(s"BENCH_FULL_$dirName.json")
+    if (dirName == "sf0.1") writeArtifact("BENCH_FULL.json")
     spark.stop()
   }
 }

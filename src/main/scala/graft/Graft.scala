@@ -213,6 +213,12 @@ object Graft {
     def bpeMerges(docs: DataFrame, k: Int = ops.Bpe.BpeIterations): DataFrame =
       ops.Bpe.bpeMergesOf(docs, k)
 
+    /** Apply the learned BPE merges corpus-wide and report per-source
+      * token compression (docs, tokens before/after, ratio).
+      */
+    def bpeApply(docs: DataFrame, k: Int = ops.Bpe.BpeIterations): DataFrame =
+      ops.Bpe.bpeApplyOf(docs, k)
+
     /** Corpus-trained unigram-LM mean log-prob per document — the
       * model-free fluency/quality score.
       */

@@ -117,6 +117,7 @@ object SparkEntry {
     "q_tfidf_top" -> (Text.qTfidfTop _),
     "q_pmi_bigrams" -> (graft.ops.Text2.qPmiBigrams _),
     "q_bpe_merges" -> (graft.ops.Bpe.qBpeMerges _),
+    "q_bpe_apply" -> (graft.ops.Bpe.qBpeApply _),
     "q_sample_stratified" -> (Text.qSampleStratified _),
     "q_fingerprint_rolling" -> (Text.qFingerprintRolling _),
     "q_mm_frames" -> (Multimodal.qMmFrames _),

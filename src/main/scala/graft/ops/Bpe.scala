@@ -102,6 +102,48 @@ object Bpe {
       .orderBy("iter")
   }
 
+  /** Apply the learned merges corpus-wide and report per-source
+    * compression — the second half of tokenizer training: the merge
+    * table ships, the corpus is re-tokenized under it. Runs the same
+    * loop as [[bpeMergesOf]] (the rewrite IS the application; one
+    * codegen'd regexp_replace per merge) and reduces the final
+    * sequences to (source, docs, tokens before, tokens after) — the
+    * compression a 5-rule token-BPE buys. At 100 TB the merge table is
+    * learned on a sample and this application pass is the only
+    * corpus-scale work: k narrow projections and one aggregate.
+    */
+  def bpeApplyOf(docs: DataFrame, k: Int): DataFrame = {
+    val merges = bpeMergesOf(docs, k).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val base = docs.select(col("source"),
+      expr("CAST(size(filter(split(lower(text), ' ', -1), t -> t != '')) AS BIGINT)")
+        .as("n_before"),
+      expr(
+        s"""concat('$Sep', array_join(
+           |  filter(split(lower(text), ' ', -1), t -> t != ''), '$Sep'),
+           |  '$Sep')""".stripMargin).as("s"))
+    val applied = merges.foldLeft(base) { case (df, (a, b)) =>
+      val pat = s"(?<=$Sep)" +
+        java.util.regex.Pattern.quote(s"$a$Sep$b") + s"(?=$Sep)"
+      val rep = java.util.regex.Matcher.quoteReplacement(s"$a $b")
+      df.withColumn("s", regexp_replace(col("s"), pat, rep))
+    }
+    applied
+      .select(col("source"), col("n_before"),
+        expr(s"CAST(size(filter(split(s, '$Sep', -1), t -> t != '')) AS BIGINT)")
+          .as("n_after"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_before")).cast("long").as("tokens_before"),
+        sum(col("n_after")).cast("long").as("tokens_after"))
+      .withColumn("compression",
+        round(col("tokens_after").cast("double") / col("tokens_before"), 6))
+      .orderBy("source")
+  }
+
+  def qBpeApply(spark: SparkSession, dir: String): DataFrame =
+    bpeApplyOf(Tables.documentsSpread(spark, dir), BpeIterations)
+
   /** One unrolled oracle iteration: seq$i → best$i (the argmax pair) and
     * seq${i+1} (the merged sequence) — the same window/island/parity
     * recipe as the Spark side, in portable SQL.
@@ -157,5 +199,30 @@ object Bpe {
          |$iters
          |$out
          |ORDER BY iter""".stripMargin
+    },
+    "q_bpe_apply" -> {
+      val iters = (1 to BpeIterations).map(iterCte).mkString(",\n")
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+         |p0 AS (
+         |  SELECT doc_id, unnest(generate_series(1, len(w))) AS p, w FROM t),
+         |s0 AS (SELECT doc_id, p, w[p] AS tok FROM p0 WHERE w[p] <> ''),
+         |seq1 AS (
+         |  SELECT doc_id,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY p) AS pos, tok
+         |  FROM s0),
+         |$iters,
+         |nb AS (SELECT doc_id, COUNT(*) AS n FROM seq1 GROUP BY doc_id),
+         |na AS (SELECT doc_id, COUNT(*) AS n
+         |       FROM seq${BpeIterations + 1} GROUP BY doc_id)
+         |SELECT d.source, COUNT(*) AS n_docs,
+         |  CAST(SUM(COALESCE(nb.n, 0)) AS BIGINT) AS tokens_before,
+         |  CAST(SUM(COALESCE(na.n, 0)) AS BIGINT) AS tokens_after,
+         |  ROUND(CAST(SUM(COALESCE(na.n, 0)) AS DOUBLE)
+         |    / CAST(SUM(COALESCE(nb.n, 0)) AS BIGINT), 6) AS compression
+         |FROM documents d
+         |LEFT JOIN nb ON nb.doc_id = d.doc_id
+         |LEFT JOIN na ON na.doc_id = d.doc_id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin
     })
 }

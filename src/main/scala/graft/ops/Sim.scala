@@ -223,16 +223,23 @@ object Sim {
     * gate. The synthetic embeddings have only weak coarse-cluster
     * structure (the measured true top-10 spreads across most labels), so
     * IVF recall here tracks the probed fraction of the corpus plus a
-    * locality bonus: measured recall at nprobe=3 (37.5% probed) was
-    * 1.0 / 0.8 / 0.6 at sf0.001/0.01/0.1. nprobe=5 probes 62.5% and
-    * measured 1.0 / 0.8 / 0.8, so τ=0.5 asserts the structure the data
-    * actually has, with 3 hits of margin at the gate scale factor
-    * against codebook jitter; a broken quantizer, probe ranking, or
-    * scoring path still lands well below it. On a genuinely clustered
+    * locality bonus. The full nprobe sweep (recall@10 vs brute force,
+    * round-6 run; table also in SCALE.md):
+    *
+    *   nprobe:    1    2    3    4    5
+    *   sf0.001  0.6  0.8  1.0  1.0  1.0
+    *   sf0.01   0.4  0.6  0.8  0.8  0.8
+    *   sf0.1    0.3  0.5  0.6  0.7  0.8
+    *
+    * nprobe=5 probes 62.5% and measures 1.0/0.8/0.8, so τ=0.7 asserts
+    * the measured floor with one hit of margin at the gate scale factor
+    * — a real recall regression (centroid derivation, probe ranking,
+    * scoring) lands well below it, unlike the former τ=0.5 which
+    * under-asserted its own measurements. On a genuinely clustered
     * corpus, drop nprobe and raise τ together.
     */
   val KmeansNprobe = 5
-  val KmeansRecallTau = 0.5
+  val KmeansRecallTau = 0.7
 
   /** The driver-gated KMeans-IVF query: recall@10 of [[ivfKmeansTopK]]
     * against the exact brute-force top-10 ([[qSimTopK]], itself oracle-

@@ -49,6 +49,17 @@ class BpeSpec extends SparkTestBase {
     assert(got(2) == (3L, "x y z", "x y", 1L))
   }
 
+  test("apply reports hand-computable compression") {
+    import spark.implicits._
+    // "a a a a" under k=2: iter1 merges (a,a) -> [(a a), (a a)];
+    // iter2 merges ((a a),(a a)) -> one symbol. 4 tokens -> 1.
+    val docs = Seq((0L, "a a a a", "s0")).toDF("doc_id", "text", "source")
+    val got = Bpe.bpeApplyOf(docs, 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.toSeq == Seq(("s0", 1L, 4L, 1L, 0.25)))
+  }
+
   test("plain-Scala model replay on the sf0.001 corpus") {
     // replay the loop in-memory: tokenize, then k rounds of pair-count /
     // argmax / greedy merge, and require the distributed merge table to

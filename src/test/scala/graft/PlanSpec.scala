@@ -138,4 +138,16 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"),
       s"edge list shuffled for a join (expected broadcast-only):\n${p.take(1500)}")
   }
+
+  test("dedup-quality pair join is merge, never broadcast (10x cliff pin)") {
+    // BOTH sides of the candidates×jaccard join are pair-scale (they
+    // grow together with the near-dup mass); at 10x replication AQE's
+    // estimates picked a broadcast here and the ~250k-pair build side
+    // blew past spark.driver.maxResultSize (GATE_10X.md §1). The merge
+    // hint is the fix — pin it so a refactor can't drop it.
+    val p = plan(graft.ops.Dedup.qDedupQuality(spark, sfDir))
+    assert(p.contains("SortMergeJoin LeftOuter") ||
+      (p.contains("SortMergeJoin") && p.contains("LeftOuter")),
+      s"pair join is not a left-outer sort-merge:\n${p.take(2000)}")
+  }
 }

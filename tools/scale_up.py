@@ -21,7 +21,12 @@ Dimension enums (region, nation) are copied unreplicated — dims grow
 slower than facts. Embedding labels shift by i*10 per replica (cluster
 count tracks the corpus: the SemDeDup design point).
 
-Usage: python3 tools/scale_up.py [k] [srcDir] [outDir]
+Usage: python3 tools/scale_up.py [k] [srcDir] [outDir] [table=k ...]
+
+Trailing table=k args override the replication factor per table (e.g.
+`documents=100 embeddings=100 lineitem=1` stages a text-lane 100x run
+without paying for 100x lineitem) — the dedup/ANN caps bind at
+replications the uniform stage can't reach in the sandbox.
 """
 import sys
 
@@ -30,6 +35,10 @@ import duckdb
 K = int(sys.argv[1]) if len(sys.argv) > 1 else 10
 SRC = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
 OUT = sys.argv[3] if len(sys.argv) > 3 else "/tmp/graft_sf1"
+FACTORS = {}
+for a in sys.argv[4:]:
+    t, _, v = a.partition("=")
+    FACTORS[t] = int(v)
 
 con = duckdb.connect()
 con.sql("SET preserve_insertion_order=false")
@@ -68,11 +77,12 @@ for t in ["region", "nation"]:
     print(f"[scale-up] {t}: copied unreplicated")
 
 for t, offs in REPL.items():
+    k = FACTORS.get(t, K)
     cols = [c[0] for c in con.sql(
         f"DESCRIBE SELECT * FROM '{SRC}/{t}.parquet'").fetchall()]
     sel = ", ".join(
         f"{c} + i * {offs[c]} AS {c}" if c in offs else c for c in cols)
-    con.sql(f"COPY (SELECT {sel} FROM '{SRC}/{t}.parquet', range({K}) t(i)) "
+    con.sql(f"COPY (SELECT {sel} FROM '{SRC}/{t}.parquet', range({k}) t(i)) "
             f"TO '{OUT}/{t}.parquet' (FORMAT PARQUET)")
     n = con.sql(f"SELECT count(*) FROM '{OUT}/{t}.parquet'").fetchone()[0]
-    print(f"[scale-up] {t}: {n} rows ({K}x)")
+    print(f"[scale-up] {t}: {n} rows ({k}x)")
