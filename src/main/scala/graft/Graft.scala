@@ -214,10 +214,19 @@ object Graft {
       ops.Bpe.bpeMergesOf(docs, k)
 
     /** Apply the learned BPE merges corpus-wide and report per-source
-      * token compression (docs, tokens before/after, ratio).
+      * token compression (docs, tokens before/after, ratio). Trains
+      * then applies on the same frame; production ships the merge
+      * table — use [[bpeApplyTable]] with a pre-trained table there.
       */
     def bpeApply(docs: DataFrame, k: Int = ops.Bpe.BpeIterations): DataFrame =
       ops.Bpe.bpeApplyOf(docs, k)
+
+    /** Apply a SHIPPED merge table ((pair_a, pair_b) in iteration
+      * order) — the corpus-scale half of tokenizer training; no
+      * training loop runs here.
+      */
+    def bpeApplyTable(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
+      ops.Bpe.bpeApply(docs, merges)
 
     /** Corpus-trained unigram-LM mean log-prob per document — the
       * model-free fluency/quality score.

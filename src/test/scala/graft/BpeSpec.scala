@@ -60,6 +60,32 @@ class BpeSpec extends SparkTestBase {
     assert(got.toSeq == Seq(("s0", 1L, 4L, 1L, 0.25)))
   }
 
+  test("apply consumes a shipped merge table — no retraining on the target") {
+    import spark.implicits._
+    // Train on corpus A (argmax pair is (a,a)), apply to corpus B where
+    // retraining would instead pick (b,b). If apply honored the shipped
+    // table, only (a,a) merges: "b b a a b" -> 5 tokens becomes 4.
+    val trainDocs = Seq((0L, "a a a a")).toDF("doc_id", "text")
+    val table = Bpe.bpeMergesOf(trainDocs, 1).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(table == Seq(("a", "a")))
+    val target = Seq((0L, "b b a a b", "t0"), (1L, "b b b b", "t1"))
+      .toDF("doc_id", "text", "source")
+    val got = Bpe.bpeApply(target, table).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3))).toSeq
+    // t0: (a,a) merges once (5 -> 4); t1: no (a,a) at all (4 -> 4) —
+    // a retrained table would have merged (b,b) and shrunk t1.
+    assert(got == Seq(("t0", 5L, 4L), ("t1", 4L, 4L)))
+  }
+
+  // Loop-cost note (round 8): before linearization, bpeMergesOf rebuilt
+  // its whole rewrite lineage per iteration — each pair-count job re-ran
+  // all previous regexp rewrites from the scan (O(k²) corpus passes;
+  // 13.9 s for q_bpe_merges alone at sf0.1 k=5 in BENCH_r06). With the
+  // eager localCheckpoint per iteration the loop is 2 narrow passes per
+  // merge; measured after: see SCALE.md's BPE section and the k-sweep
+  // ScaleProbe row (flat per-iteration cost through k=50).
+
   test("plain-Scala model replay on the sf0.001 corpus") {
     // replay the loop in-memory: tokenize, then k rounds of pair-count /
     // argmax / greedy merge, and require the distributed merge table to
