@@ -47,13 +47,24 @@ object Bench {
     val skip = sys.env.get("SPARK_GRAFT_BENCH_SKIP")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    def runPass(): Seq[(String, Double)] = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => !skip.contains(name) }
       .map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9
       }
+    // SPARK_GRAFT_BENCH_REPEAT=N (default 1, the driver's contract):
+    // run the timed loop N times in THIS JVM and record every pass in
+    // the artifact — the per-query spread between same-session passes
+    // is the bench's noise floor, the only baseline against which a
+    // round-over-round delta with no code change can be adjudicated
+    // (r6→r7 totals moved 1.14× on a byte-identical tree). The printed
+    // one-line summary and the compat `queries` map stay pass 1.
+    val repeat = sys.env.get("SPARK_GRAFT_BENCH_REPEAT")
+      .map(_.toInt).filter(_ >= 1).getOrElse(1)
+    val allPasses = (1 to repeat).map(_ => runPass())
+    val results = allPasses.head
     // The harness keeps only the last ~2000 chars of the sbt output (and
     // sbt's own "[success] …" epilogue eats ~80 of them), so the JSON line
     // must stay under ~1.9 KB or it is truncated mid-line and never parses
@@ -111,12 +122,22 @@ object Bench {
       .mkString("{\n", ",\n", "\n}")
     val skipped = skip.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val dirName = new java.io.File(sfDir).getName
+    // extra passes (repeat > 1): full per-pass maps, so the committed
+    // noise-floor artifact carries every query's same-session spread
+    val passesJson =
+      if (repeat <= 1) ""
+      else allPasses.zipWithIndex.drop(1).map { case (p, i) =>
+        val m = p.sortBy(_._1)
+          .map { case (k, v) => s"""  "$k": ${f3(v)}""" }
+          .mkString("{\n", ",\n", "\n}")
+        s""","total_pass${i + 1}":${f3(p.map(_._2).sum)},"queries_pass${i + 1}":$m"""
+      }.mkString
     def writeArtifact(path: String): Unit = {
       val out = new java.io.PrintWriter(path)
       try out.println(
         s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir",
            |"skipped":$skipped,
-           |"queries":$full}""".stripMargin)
+           |"queries":$full$passesJson}""".stripMargin)
       finally out.close()
     }
     writeArtifact(s"BENCH_FULL_$dirName.json")
