@@ -93,6 +93,15 @@ object GraftFunctions {
   private val info = new ExpressionInfo(
     classOf[CosineSimilarity].getCanonicalName, "cosine_sim")
 
+  val ivfNearestBuilder: Seq[Expression] => Expression = {
+    case Seq(e, c, n) => IvfNearest(e, c, n)
+    case other => throw new IllegalArgumentException(
+      s"ivf_nearest expects 3 arguments, got ${other.size}")
+  }
+
+  private val ivfNearestInfo = new ExpressionInfo(
+    classOf[IvfNearest].getCanonicalName, "ivf_nearest")
+
   /** Spark ships `BloomFilterAggregate` / `BloomFilterMightContain`
     * (the build and probe its own runtime row-level filtering plans)
     * but keeps both OUT of the public function registry — so expose
@@ -141,6 +150,9 @@ object GraftFunctions {
     val bfId = FunctionIdentifier("bloom_filter_agg")
     if (!registry.functionExists(bfId))
       registry.registerFunction(bfId, bloomAggInfo, bloomAggBuilder)
+    val ivfId = FunctionIdentifier("ivf_nearest")
+    if (!registry.functionExists(ivfId))
+      registry.registerFunction(ivfId, ivfNearestInfo, ivfNearestBuilder)
   }
 }
 
@@ -160,6 +172,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate]
           .getCanonicalName, "bloom_filter_agg"),
       GraftFunctions.bloomAggBuilder))
+    ext.injectFunction((FunctionIdentifier("ivf_nearest"),
+      new ExpressionInfo(classOf[IvfNearest].getCanonicalName, "ivf_nearest"),
+      GraftFunctions.ivfNearestBuilder))
     ext.injectOptimizerRule(_ => graft.plans.CollapseRedundantRound)
     ext.injectOptimizerRule(_ => graft.plans.RewriteAsOfJoin)
   }

@@ -1,0 +1,130 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, TernaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.SparkSession
+
+/** Native IVF coarse-quantizer: `ivf_nearest(embedding, codebook, n)` →
+  * the `n` nearest centroid labels, ordered by (squared-L2 asc, label
+  * asc). `codebook` is ARRAY<STRUCT<c_label BIGINT, centroid
+  * ARRAY<DOUBLE>>> — the broadcast label-mean table collected into one
+  * array column.
+  *
+  * Why an expression and not HOFs: the declarative form
+  * (`transform(cb, c -> struct(aggregate(zip_with(...)), ...))` +
+  * `array_min`/`array_sort`) is semantically identical but evaluates one
+  * interpreted lambda frame per element — at the round-8 100× text stage
+  * (200 k vectors × 1 000 centroids × 64 dims ≈ 13 G multiply-adds) the
+  * boxed evaluation put the IVF family at 120–150 s. This expression
+  * runs the same arithmetic as primitive loops over `ArrayData` with a
+  * per-thread parse cache for the (shared, broadcast) codebook array.
+  *
+  * Semantics are BIT-IDENTICAL to the HOF form and the DuckDB oracle:
+  * d = left-to-right double accumulation of (CAST(x AS DOUBLE) − c)²
+  * over min(dim) elements, ranking by (d asc, label asc) — so the gate
+  * hashes are unchanged by construction.
+  */
+case class IvfNearest(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val embOk = first.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    val cbOk = second.dataType match {
+      case ArrayType(StructType(Array(f0, f1)), _) =>
+        f0.dataType == LongType &&
+          (f1.dataType match {
+            case ArrayType(DoubleType, _) => true
+            case _ => false
+          })
+      case _ => false
+    }
+    val nOk = third.dataType == IntegerType && third.foldable
+    if (embOk && cbOk && nOk) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "ivf_nearest expects (ARRAY<FLOAT>, ARRAY<STRUCT<BIGINT, " +
+        s"ARRAY<DOUBLE>>>, foldable INT), got ${first.dataType.simpleString}, " +
+        s"${second.dataType.simpleString}, ${third.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "ivf_nearest"
+
+  /** The codebook column comes from a broadcast 1-row frame, so every
+    * row of a task sees the same ArrayData instance (or a handful of
+    * them); parsing it to primitive arrays once per instance makes the
+    * hot loop allocation-free. Thread-confined via ThreadLocal —
+    * expressions can be shared across task threads.
+    */
+  @transient private lazy val cbCache =
+    new ThreadLocal[(AnyRef, Array[Long], Array[Array[Double]])]
+
+  private def parsedCb(cb: ArrayData): (Array[Long], Array[Array[Double]]) = {
+    val hit = cbCache.get()
+    if (hit != null && (hit._1 eq cb)) (hit._2, hit._3)
+    else {
+      val k = cb.numElements()
+      val labels = new Array[Long](k)
+      val cents = new Array[Array[Double]](k)
+      var i = 0
+      while (i < k) {
+        val s = cb.getStruct(i, 2)
+        labels(i) = s.getLong(0)
+        cents(i) = s.getArray(1).toDoubleArray()
+        i += 1
+      }
+      cbCache.set((cb, labels, cents))
+      (labels, cents)
+    }
+  }
+
+  override def nullSafeEval(e: Any, c: Any, nAny: Any): Any = {
+    val emb = e.asInstanceOf[ArrayData]
+    val (labels, cents) = parsedCb(c.asInstanceOf[ArrayData])
+    val n = math.max(0, math.min(nAny.asInstanceOf[Int], labels.length))
+    if (n == 0) return new GenericArrayData(Array.empty[Long])
+    val dim = emb.numElements()
+    // n is tiny (1..5): insertion into a sorted (d, label) buffer
+    val bestD = new Array[Double](n)
+    val bestL = new Array[Long](n)
+    var filled = 0
+    var ci = 0
+    while (ci < labels.length) {
+      val cent = cents(ci)
+      val m = math.min(dim, cent.length)
+      var d = 0.0
+      var j = 0
+      while (j < m) {
+        val diff = emb.getFloat(j).toDouble - cent(j)
+        d += diff * diff
+        j += 1
+      }
+      val l = labels(ci)
+      // worse than the current worst of a full buffer -> skip
+      if (filled < n || d < bestD(filled - 1) ||
+        (d == bestD(filled - 1) && l < bestL(filled - 1))) {
+        var p = if (filled < n) filled else n - 1
+        while (p > 0 && (bestD(p - 1) > d ||
+          (bestD(p - 1) == d && bestL(p - 1) > l))) {
+          bestD(p) = bestD(p - 1); bestL(p) = bestL(p - 1)
+          p -= 1
+        }
+        bestD(p) = d; bestL(p) = l
+        if (filled < n) filled += 1
+      }
+      ci += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(bestL, filled))
+  }
+
+  override protected def withNewChildrenInternal(
+    newFirst: Expression, newSecond: Expression, newThird: Expression): IvfNearest =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}

@@ -500,6 +500,19 @@ object Dedup {
   def qDedupEmbed(spark: SparkSession, dir: String): DataFrame =
     embedPairsOf(Tables.embeddingsSpread(spark, dir), 0.3)
 
+  /** (t, bucket) groups hotter than this are dropped before the
+    * embedding-LSH pair self-join — the [[MinhashBandCap]] move in the
+    * embedding lane. Gate-scale occupancy tops out at 23 (sf0.1; 9 at
+    * sf0.01), so 64 never fires there and capped == uncapped
+    * bit-identically (spec-pinned); on an exactly-replicated corpus it
+    * is the difference between linear and quadratic: the round-8 100×
+    * text stage measured q_dedup_embed at 212 s uncapped (every base
+    * vector's 100 identical copies share all 4 table buckets → C(100,2)
+    * pair emission per bucket) — identical-vector mass belongs to the
+    * exact/quantized dedup stage, not the LSH candidate join.
+    */
+  val EmbedBucketCap = 64L
+
   /** Same pipeline over any (vec_id, embedding) frame, geometry
     * parameterized. Shape: bucket assignment is a narrow per-row
     * projection (tables× explode), the self-join runs only within
@@ -509,14 +522,28 @@ object Dedup {
     * re-attached, so the wide vectors cross the wire once per pair side,
     * not once per shared table. Scoring is the codegen'd native
     * expression — bit-identical to the zip_with/aggregate composition.
+    * `bucketCap` bounds the within-bucket O(b²) emission via one
+    * occupancy window over the SAME (t, bucket) exchange the join
+    * consumes (zero extra corpus passes — the minhash band-cap idiom);
+    * pass Long.MaxValue for the exact uncapped control.
     */
   def embedPairsOf(emb: DataFrame, minCos: Double,
     tables: Int = HyperplaneLsh.DefaultTables,
     bits: Int = HyperplaneLsh.DefaultBits,
-    dim: Int = HyperplaneLsh.DefaultDim): DataFrame = {
+    dim: Int = HyperplaneLsh.DefaultDim,
+    bucketCap: Long = EmbedBucketCap): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
-    val v = Sim.withBuckets(emb, tables, bits, dim)
+    val v0 = Sim.withBuckets(emb, tables, bits, dim)
       .select(col("vec_id"), col("t"), col("bucket"))
+    val v =
+      if (bucketCap == Long.MaxValue) v0
+      else {
+        import org.apache.spark.sql.expressions.Window
+        val wB = Window.partitionBy(col("t"), col("bucket"))
+        v0.withColumn("occ", count(lit(1)).over(wB))
+          .filter(col("occ") <= bucketCap)
+          .drop("occ")
+      }
     val cand = v.as("a").join(v.as("b"),
         col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket")
           && col("a.vec_id") < col("b.vec_id"))

@@ -53,6 +53,44 @@ class DedupSimSpec extends SparkTestBase {
       "cold-bucket pairs must be unaffected by the cap")
   }
 
+  test("embed bucket cap: no-op on the gate corpus, replicated hot buckets dropped") {
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    def pairs(df: org.apache.spark.sql.DataFrame, cap: Long) =
+      Dedup.embedPairsOf(df, 0.3, bucketCap = cap).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 1. gate-scale occupancy (max 23 at sf0.1) is under the cap:
+    //    capped == exact, bit-identically
+    val capped = pairs(emb, Dedup.EmbedBucketCap)
+    val exact = pairs(emb, Long.MaxValue)
+    assert(capped == exact,
+      "cap must not fire on the gate corpus (max occupancy 23 < 64)")
+    // 2. plant the 100× failure in miniature: 100 identical copies of
+    //    one vector share every table bucket (occupancy > cap), so the
+    //    capped pipeline drops those buckets whole while every pair of
+    //    ORGANIC vectors (cold buckets) survives untouched
+    val baseRow = emb.orderBy("vec_id").limit(1).collect()(0)
+    val baseId = baseRow.getLong(0)
+    val base = baseRow.getSeq[Float](1).toArray
+    val copies = (1000000L until 1000100L).toDF("vec_id")
+      .withColumn("embedding", typedLit(base))
+    val mixed = emb.union(copies.select(col("vec_id"), col("embedding")))
+    val mixedUncapped = pairs(mixed, Long.MaxValue)
+    assert(mixedUncapped.count { case (a, b) => a >= 1000000L && b >= 1000000L }
+      == 100 * 99 / 2, "uncapped control must emit the full quadratic bucket")
+    val mixedCapped = pairs(mixed, Dedup.EmbedBucketCap)
+    assert(!mixedCapped.exists { case (a, b) => a >= 1000000L || b >= 1000000L },
+      "hot-bucket members must emit no pairs")
+    // collateral is confined to the replicated vector itself: ITS
+    // buckets all went hot (it sits with its copies), so its own pairs
+    // drop — boilerplate semantics — but no other organic pair moves
+    assert((mixedCapped -- capped).isEmpty, "cap must not invent pairs")
+    assert((capped -- mixedCapped).forall { case (a, b) =>
+      a == baseId || b == baseId },
+      "only the replicated vector's own pairs may drop")
+  }
+
   test("native cosine expression == declarative zip_with/aggregate") {
     val a = Sim.qSimTopK(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getDouble(1))).toSeq

@@ -17,6 +17,31 @@ class Sim2Spec extends SparkTestBase {
         q -> rs.map(t => (t._2, t._3, t._4)).sortBy(_._1).toSeq
       }
 
+  test("native ivf_nearest == declarative HOF argmin/top-n over the codebook") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val e = Tables.embeddings(spark, sfDir)
+    val cb = broadcast(Sim2.labelCentroids(e)
+      .agg(array_sort(collect_list(struct(col("c_label"), col("centroid"))))
+        .as("cb")))
+    // the declarative form ivf_nearest replaces: per-row (d, label)
+    // structs over the codebook, sorted by (d asc, label asc)
+    val dlist = expr(
+      """array_sort(transform(cb, c -> struct(
+        |  aggregate(zip_with(embedding, c.centroid,
+        |    (x, cc) -> (CAST(x AS DOUBLE) - cc) * (CAST(x AS DOUBLE) - cc)),
+        |    0.0D, (acc, v) -> acc + v) AS d,
+        |  c.c_label AS l)))""".stripMargin)
+    for (n <- Seq(1, 3, 5)) {
+      val cmp = e.crossJoin(cb)
+        .select(col("vec_id"),
+          expr(s"ivf_nearest(embedding, cb, $n)").as("native"),
+          slice(transform(dlist, s => s.getField("l")), 1, n).as("hof"))
+        .filter(not(col("native") === col("hof")))
+      assert(cmp.count() == 0, s"ivf_nearest(n=$n) diverged from HOF form")
+    }
+  }
+
   test("batch top-k: every query gets ranks 1..3 with non-increasing scores") {
     val byQ = grouped(Sim2.qSimBatchTopK(spark, sfDir).collect())
     val expectQ = Tables.embeddings(spark, sfDir)
