@@ -31,12 +31,14 @@ import graft.Tables
   * to right, which is exactly BPE's greedy merge rule ("a a a a" with
   * pair (a,a) → "(a a) (a a)", never the overlapping forms); lookaround
   * anchors keep token boundaries unconsumed so back-to-back occurrences
-  * both merge. The sequence frame is localCheckpoint'ed (eager) each
-  * iteration — the same lineage-truncation move as the CC resolver in
-  * [[Dedup]] — so iteration i's pair-count job reads the materialized
-  * iteration-(i−1) sequences plus ONE regexp, not the whole rewrite
-  * chain from the parquet scan: the loop is linear in k (2 narrow
-  * corpus passes per iteration), not O(k²). At 100 TB the standard
+  * both merge. The sequence frame is persisted and materialized each
+  * iteration (and the previous iteration's blocks released — peak
+  * storage is two corpus copies regardless of k) — the lineage-
+  * truncation move the CC resolver in [[Dedup]] makes with
+  * localCheckpoint — so iteration i's pair-count job reads the
+  * materialized iteration-(i−1) sequences plus ONE regexp, not the
+  * whole rewrite chain from the parquet scan: the loop is linear in k
+  * (2 narrow corpus passes per iteration), not O(k²). At 100 TB the standard
   * move is to learn merges on a hash-sampled slice (the merge table
   * converges long before the full corpus is counted) and apply them
   * corpus-wide in one pass — same operators, one filter.
@@ -88,7 +90,13 @@ object Bpe {
     // Sep at BOTH ends, so every symbol boundary (incl. first/last) is
     // marked and the merge regex can anchor on it
     // Eager localCheckpoint: materialize the parse once, so iteration 1
-    // counts pairs off a leaf instead of re-tokenizing per job.
+    // counts pairs off a LogicalRDD leaf instead of re-tokenizing per
+    // job. localCheckpoint (not persist) is load-bearing twice over: it
+    // truncates the LOGICAL plan too, so iteration i plans against a
+    // leaf — a persist chain keeps the whole nested-InMemoryRelation
+    // lineage and by k≈25 the plan tree AQE renders per job OOMs the
+    // driver (measured; the CC resolver's scaladoc calls out the same
+    // failure mode).
     var seq = docs.select(col("doc_id"), expr(
       s"""concat('$Sep', array_join(
          |  filter(split(lower(text), ' ', -1), t -> t != ''), '$Sep'),
@@ -116,26 +124,45 @@ object Bpe {
         // boundary Seps sit in lookarounds (unconsumed), so back-to-back
         // occurrences both merge. The chosen pair enters as literals —
         // the rewrite stays one codegen'd projection. The eager
-        // localCheckpoint truncates lineage each iteration (see the
-        // scaladoc): without it iteration i re-runs all i−1 rewrites
-        // from the scan per count job — O(k²) corpus passes. The merged
-        // sequences shrink monotonically, so the checkpoint blocks
-        // (MEMORY_AND_DESERIALIZED with disk fallback) stay bounded by
-        // the tokenized-corpus size; the final rewrite is skipped —
-        // merge k is never counted against.
+        // localCheckpoint truncates lineage (and the logical plan — see
+        // the parse note above) each iteration: without it iteration i
+        // re-runs all i−1 rewrites from the scan per count job — O(k²)
+        // corpus passes. Once the new checkpoint is materialized, the
+        // PREVIOUS iteration's blocks are released via its LogicalRDD
+        // handle, so peak storage is TWO tokenized-corpus copies
+        // regardless of k (a k-copy accumulation at k=50 would evict
+        // everything else in the executor). The final rewrite is
+        // skipped — merge k is never counted against.
         if (i < k) {
           val pat = s"(?<=$Sep)" +
             java.util.regex.Pattern.quote(s"$a$Sep$b") + s"(?=$Sep)"
           val rep = java.util.regex.Matcher.quoteReplacement(s"$a $b")
+          val prev = seq
           seq = seq.withColumn("s", regexp_replace(col("s"), pat, rep))
             .localCheckpoint(true)
+          releaseCheckpoint(prev)
         }
       }
     }
+    releaseCheckpoint(seq)
     import spark.implicits._
     merges.toSeq.toDF("iter", "pair_a", "pair_b", "pair_count")
       .orderBy("iter")
   }
+
+  /** Free the storage blocks of an eagerly-localCheckpoint'ed frame the
+    * loop no longer references (best-effort: the ContextCleaner would
+    * reclaim them on GC anyway — this just bounds PEAK storage to two
+    * corpus copies instead of k). The checkpointed data lives in the
+    * RDD behind the frame's LogicalRDD leaf; Dataset.unpersist can't
+    * reach it (it only talks to the CacheManager).
+    */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** Apply a SHIPPED merge table corpus-wide and report per-source
     * compression — the second half of tokenizer training: the merge
