@@ -477,19 +477,33 @@ object Dedup {
 
   /** Per-cluster argmax over any (doc_id, canonical_id) × (doc_id, ...,
     * quality_score) pair of frames.
+    *
+    * Shape: one `groupBy(canonical_id)` with `count` + `max_by` — NOT a
+    * window. A window over `canonical_id` hashes every member of a
+    * cluster to one task and sorts it there, so a single mega-cluster
+    * (the realistic 100 TB shape: near-dup crawls collapse millions of
+    * mirror pages into one component) serializes on one core and can
+    * OOM it. `max_by(struct(doc_id, quality_score), struct(quality_score,
+    * -doc_id))` is a declarative aggregate with map-side partial merge:
+    * each input partition reduces its slice of the cluster to ONE
+    * candidate row before the exchange, so the shuffle carries
+    * O(partitions) rows per cluster regardless of cluster size and no
+    * task ever holds a whole cluster. The `-doc_id` component encodes
+    * the (quality DESC, doc_id ASC) tie-break as a plain max; doc_id is
+    * a non-negative int64, so negation cannot overflow.
     */
   def keepBestOf(clusters: DataFrame, quality: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byCluster = Window.partitionBy(col("canonical_id"))
-    val ranked = Window.partitionBy(col("canonical_id"))
-      .orderBy(col("quality_score").desc, col("doc_id").asc)
     clusters
       .join(quality.select(col("doc_id"), col("quality_score")), "doc_id")
-      .withColumn("n_members", count(lit(1)).over(byCluster))
-      .withColumn("rn", row_number().over(ranked))
-      .filter(col("rn") === 1)
-      .select(col("canonical_id"), col("doc_id").as("keep_doc_id"),
-        col("n_members"), col("quality_score").as("best_score"))
+      .groupBy(col("canonical_id"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        max_by(
+          struct(col("doc_id"), col("quality_score")),
+          struct(col("quality_score"), (-col("doc_id")).as("tie"))
+        ).as("best"))
+      .select(col("canonical_id"), col("best.doc_id").as("keep_doc_id"),
+        col("n_members"), col("best.quality_score").as("best_score"))
       .orderBy("canonical_id")
   }
 

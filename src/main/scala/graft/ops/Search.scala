@@ -163,10 +163,12 @@ object Search {
     * is the md5-derived integer already proven engine-exact by
     * q_sample_stratified (not RNG: at corpus scale a re-run MUST
     * resample identically), shifted to (0,1) as (draw+1)/1002 so ln is
-    * finite. One narrow pass computes keys; the per-source top-k is a
-    * window row_number — at 100 TB with few sources, swap for the typed
-    * top-k Aggregator (q_topk_typed's bounded-heap shape) so no source
-    * partition is ever sorted whole; the key arithmetic is unchanged.
+    * finite. One narrow pass computes keys; the per-source top-k is the
+    * bounded [[graft.functions.BoundedTopK]] Aggregator — with few
+    * sources a window row_number would sort an entire stratum in ONE
+    * task at 100 TB, whereas the Aggregator's partial merge ships ≤ k
+    * candidates per map partition per source, so the per-source state
+    * is O(partitions·k) regardless of stratum size.
     */
   def qSampleWeighted(spark: SparkSession, dir: String): DataFrame =
     weightedSample(Tables.documents(spark, dir),
@@ -175,23 +177,37 @@ object Search {
 
   /** Same operator over any frame: per `group`, the `k` rows with the
     * largest E-S key ln(u)/`weight` where u derives from md5(`id`) —
-    * weight must be a positive integral column, id a LONG.
+    * weight must be a positive integral column, id a LONG, group a
+    * string column.
     */
   def weightedSample(df: DataFrame, group: String, id: String,
     weight: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val draw = Text.sampleDraw(s"CAST(CAST($id AS STRING) AS BINARY)")
     // The key is rounded to the emitted precision BEFORE ranking (with
     // id as tiebreak) — ordering by the raw double would let a
     // cross-engine ln() ULP difference at the rank-k boundary select
-    // different rows; the q_tfidf_top/bm25 precedent.
-    val w = Window.partitionBy(col(group))
-      .orderBy(col("es_key").desc, col(id).asc)
+    // different rows; the q_tfidf_top/bm25 precedent. Ranking itself is
+    // the bounded Aggregator: (-es_key, id) smallest-first == es_key
+    // DESC, id ASC, deterministic under any partial-merge order.
+    val topk = new graft.functions.BoundedTopK[(Long, Long, Double)](
+      k, Ordering.by { case (i, _, s) => (-s, i) })
     df
       .withColumn("es_key",
         round(expr(s"ln((($draw) + 1) / 1002.0) / $weight"), 6))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
-      .select(col(group), col("rk"), col(id), col(weight), col("es_key"))
+      .select(col(group).cast("string"), col(id).cast("long"),
+        col(weight).cast("long"), col("es_key"))
+      .as[(String, Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues { case (_, i, wt, s) => (i, wt, s) }
+      .agg(topk.toColumn.name("topk"))
+      .flatMap { case (g, items) =>
+        items.zipWithIndex.map { case ((i, wt, s), r) =>
+          (g, (r + 1).toLong, i, wt, s)
+        }
+      }
+      .toDF(group, "rk", id, weight, "es_key")
   }
 
   // -------------------------------------------------------- decontaminate

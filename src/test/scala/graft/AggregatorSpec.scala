@@ -44,6 +44,33 @@ class AggregatorSpec extends SparkTestBase {
     got.foreach { case (c, hits) => assert(hits == want(c), s"customer $c") }
   }
 
+  test("BoundedTopK == window top-3 for string items and carried payload") {
+    import spark.implicits._
+    // (lang, bg, cnt) counts frame — the qNgramTop shape
+    val counts = Seq(
+      ("en", "a b", 5L), ("en", "b c", 5L), ("en", "c d", 3L),
+      ("en", "d e", 9L), ("de", "x y", 1L), ("de", "y z", 2L))
+      .toDF("lang", "bg", "cnt")
+    val topk = new graft.functions.BoundedTopK[(String, Long)](
+      3, Ordering.by { case (bg, cnt) => (-cnt, bg) })
+    val got = counts.as[(String, String, Long)]
+      .groupByKey(_._1)
+      .mapValues { case (_, bg, cnt) => (bg, cnt) }
+      .agg(topk.toColumn.name("top"))
+      .collect().map { case (l, xs) => l -> xs.toList }.toMap
+    // ties on cnt break on bigram text ascending
+    assert(got("en") == List(("d e", 9L), ("a b", 5L), ("b c", 5L)))
+    assert(got("de") == List(("y z", 2L), ("x y", 1L)))
+
+    // merge-order invariance: single-partition and 8-partition runs agree
+    val got8 = counts.repartition(8).as[(String, String, Long)]
+      .groupByKey(_._1)
+      .mapValues { case (_, bg, cnt) => (bg, cnt) }
+      .agg(topk.toColumn.name("top"))
+      .collect().map { case (l, xs) => l -> xs.toList }.toMap
+    assert(got8 == got)
+  }
+
   test("dedup resolve: canonical is the component minimum") {
     val labels = graft.ops.Dedup.qDedupResolve(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -98,6 +98,18 @@ class GraftApiSpec extends SparkTestBase {
     val kept = Graft.dedup.keepBest(clusters, quality).collect()
     assert(kept.length == 1 && kept.head.getLong(1) == 2L
       && kept.head.getLong(2) == 2L)
+    // tie-break: equal quality → min doc_id wins
+    val tied = Seq((5L, 1L), (3L, 1L)).toDF("doc_id", "canonical_id")
+    val tiedQ = Seq((5L, 0.7), (3L, 0.7)).toDF("doc_id", "quality_score")
+    assert(Graft.dedup.keepBest(tied, tiedQ).collect().head.getLong(1) == 3L)
+    // skew shape: per-cluster argmax must be a partially-merged aggregate
+    // (map-side combine), not a Window that funnels a whole cluster into
+    // one sorted task — a mega-cluster would serialize there at scale.
+    val kbPlan = Graft.dedup.keepBest(clusters, quality)
+      .queryExecution.executedPlan.toString
+    assert(!kbPlan.contains("Window"), "keepBest must not use a window")
+    assert(kbPlan.contains("max_by") || kbPlan.contains("HashAggregate"),
+      "keepBest must be an aggregate")
     // profile facade: one row per requested column
     assert(Graft.pipeline.profile(docs.withColumn("v", col("doc_id") * 2),
       Seq("doc_id", "v")).count() == 2)
