@@ -163,12 +163,18 @@ object Search {
     * is the md5-derived integer already proven engine-exact by
     * q_sample_stratified (not RNG: at corpus scale a re-run MUST
     * resample identically), shifted to (0,1) as (draw+1)/1002 so ln is
-    * finite. One narrow pass computes keys; the per-source top-k is the
-    * bounded [[graft.functions.BoundedTopK]] Aggregator — with few
-    * sources a window row_number would sort an entire stratum in ONE
-    * task at 100 TB, whereas the Aggregator's partial merge ships ≤ k
-    * candidates per map partition per source, so the per-source state
-    * is O(partitions·k) regardless of stratum size.
+    * finite. One narrow pass computes keys; the per-source top-k is a
+    * window row_number + `rk <= k` filter — which Catalyst rewrites to
+    * a PARTIAL `WindowGroupLimit` (rank-limit pushdown): each map
+    * partition keeps only its k best rows per source BEFORE the
+    * exchange, so the shuffle carries O(partitions·k) rows per stratum
+    * and no task ever sorts a whole source, even with few sources at
+    * 100 TB. Plan-pinned in `AggregatorSpec`; `graft.tools.TopKProbe`
+    * measures it flat 1×→500× on a single hot stratum, matching the
+    * hand-built bounded Aggregator within noise — the declarative form
+    * wins because the optimizer already implements the bounded-heap
+    * shape without the typed-encoding cost (1.7 s vs 3.3 s at the 100×
+    * text stage).
     */
   def qSampleWeighted(spark: SparkSession, dir: String): DataFrame =
     weightedSample(Tables.documents(spark, dir),
@@ -177,37 +183,23 @@ object Search {
 
   /** Same operator over any frame: per `group`, the `k` rows with the
     * largest E-S key ln(u)/`weight` where u derives from md5(`id`) —
-    * weight must be a positive integral column, id a LONG, group a
-    * string column.
+    * weight must be a positive integral column, id a LONG.
     */
   def weightedSample(df: DataFrame, group: String, id: String,
     weight: String, k: Int): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
     val draw = Text.sampleDraw(s"CAST(CAST($id AS STRING) AS BINARY)")
     // The key is rounded to the emitted precision BEFORE ranking (with
     // id as tiebreak) — ordering by the raw double would let a
     // cross-engine ln() ULP difference at the rank-k boundary select
-    // different rows; the q_tfidf_top/bm25 precedent. Ranking itself is
-    // the bounded Aggregator: (-es_key, id) smallest-first == es_key
-    // DESC, id ASC, deterministic under any partial-merge order.
-    val topk = new graft.functions.BoundedTopK[(Long, Long, Double)](
-      k, Ordering.by { case (i, _, s) => (-s, i) })
+    // different rows; the q_tfidf_top/bm25 precedent.
+    val w = Window.partitionBy(col(group))
+      .orderBy(col("es_key").desc, col(id).asc)
     df
       .withColumn("es_key",
         round(expr(s"ln((($draw) + 1) / 1002.0) / $weight"), 6))
-      .select(col(group).cast("string"), col(id).cast("long"),
-        col(weight).cast("long"), col("es_key"))
-      .as[(String, Long, Long, Double)]
-      .groupByKey(_._1)
-      .mapValues { case (_, i, wt, s) => (i, wt, s) }
-      .agg(topk.toColumn.name("topk"))
-      .flatMap { case (g, items) =>
-        items.zipWithIndex.map { case ((i, wt, s), r) =>
-          (g, (r + 1).toLong, i, wt, s)
-        }
-      }
-      .toDF(group, "rk", id, weight, "es_key")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col(group), col("rk"), col(id), col(weight), col("es_key"))
   }
 
   // -------------------------------------------------------- decontaminate

@@ -209,16 +209,17 @@ object Text {
 
   /** Top-3 word bigrams per language — the n-gram frequency profile that
     * seeds language models / quality classifiers. Bigram explode →
-    * count per (lang, bigram) → bounded top-k Aggregator; ties broken on
-    * the bigram text so ranking is deterministic. The top-k is
-    * [[graft.functions.BoundedTopK]], NOT a per-lang window: the counts
-    * frame has one row per distinct (lang, bigram) — at corpus scale
-    * billions of bigram types per language — and a window would sort a
-    * whole language's vocabulary in one task, while the Aggregator's
-    * partial merge carries ≤ 3 candidates per partition per lang.
+    * count per (lang, bigram) → windowed top-k; ties broken on the
+    * bigram text so ranking is deterministic. The window survives scale
+    * because Catalyst rewrites `row_number ≤ k` into a PARTIAL
+    * `WindowGroupLimit` (rank-limit pushdown): each partition keeps ≤ 3
+    * candidate bigrams per lang before the exchange, so a language's
+    * whole bigram vocabulary (billions of types at corpus scale) is
+    * never sorted in one task — plan-pinned in `AggregatorSpec`,
+    * measured flat under stratum replication by `graft.tools.TopKProbe`.
     */
   def qNgramTop(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
     val bigrams = Tables.documentsSpread(spark, dir)
       .withColumn("w", split(lower(col("text")), " ", -1))
       .select(col("lang"), explode(expr(
@@ -228,19 +229,11 @@ object Text {
           |ELSE CAST(NULL AS ARRAY<STRING>) END""".stripMargin)).as("bg"))
     val counts = bigrams.groupBy(col("lang"), col("bg"))
       .agg(count(lit(1)).as("cnt"))
-    val topk = new graft.functions.BoundedTopK[(String, Long)](
-      3, Ordering.by { case (bg, cnt) => (-cnt, bg) })
-    counts
-      .as[(String, String, Long)]
-      .groupByKey(_._1)
-      .mapValues { case (_, bg, cnt) => (bg, cnt) }
-      .agg(topk.toColumn.name("topk"))
-      .flatMap { case (lang, items) =>
-        items.zipWithIndex.map { case ((bg, cnt), r) =>
-          (lang, bg, cnt, (r + 1).toLong)
-        }
-      }
-      .toDF("lang", "bg", "cnt", "rn")
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("cnt").desc, col("bg").asc)
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("lang"), col("bg"), col("cnt"), col("rn").cast("long").as("rn"))
       .orderBy("lang", "rn")
   }
 
@@ -301,7 +294,7 @@ object Text {
     * hex bytes of the decimal doc id — `md5Arg` is the engine's
     * string-to-md5-input spelling, everything else shared verbatim.
     */
-  private[ops] def sampleDraw(md5Arg: String): String =
+  private[graft] def sampleDraw(md5Arg: String): String =
     s"(CAST(ascii(substr(md5($md5Arg), 1, 1)) AS BIGINT) * 65536 " +
       s"+ ascii(substr(md5($md5Arg), 2, 1)) * 256 " +
       s"+ ascii(substr(md5($md5Arg), 3, 1))) % 1000"

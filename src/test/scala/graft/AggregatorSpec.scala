@@ -44,31 +44,24 @@ class AggregatorSpec extends SparkTestBase {
     got.foreach { case (c, hits) => assert(hits == want(c), s"customer $c") }
   }
 
-  test("BoundedTopK == window top-3 for string items and carried payload") {
-    import spark.implicits._
-    // (lang, bg, cnt) counts frame — the qNgramTop shape
-    val counts = Seq(
-      ("en", "a b", 5L), ("en", "b c", 5L), ("en", "c d", 3L),
-      ("en", "d e", 9L), ("de", "x y", 1L), ("de", "y z", 2L))
-      .toDF("lang", "bg", "cnt")
-    val topk = new graft.functions.BoundedTopK[(String, Long)](
-      3, Ordering.by { case (bg, cnt) => (-cnt, bg) })
-    val got = counts.as[(String, String, Long)]
-      .groupByKey(_._1)
-      .mapValues { case (_, bg, cnt) => (bg, cnt) }
-      .agg(topk.toColumn.name("top"))
-      .collect().map { case (l, xs) => l -> xs.toList }.toMap
-    // ties on cnt break on bigram text ascending
-    assert(got("en") == List(("d e", 9L), ("a b", 5L), ("b c", 5L)))
-    assert(got("de") == List(("y z", 2L), ("x y", 1L)))
-
-    // merge-order invariance: single-partition and 8-partition runs agree
-    val got8 = counts.repartition(8).as[(String, String, Long)]
-      .groupByKey(_._1)
-      .mapValues { case (_, bg, cnt) => (bg, cnt) }
-      .agg(topk.toColumn.name("top"))
-      .collect().map { case (l, xs) => l -> xs.toList }.toMap
-    assert(got8 == got)
+  test("few-groups window top-k plans a PARTIAL WindowGroupLimit") {
+    // q_sample_weighted / q_ngram_top keep the declarative row_number +
+    // rk<=k form BECAUSE Catalyst's rank-limit pushdown bounds it: a
+    // partial WindowGroupLimit keeps <= k candidates per map partition
+    // per group before the exchange, so no task ever sorts a whole
+    // stratum — the property a hand-built bounded Aggregator would buy,
+    // without its typed-encoding cost (measured: graft.tools.TopKProbe,
+    // flat 1x->500x on a single hot stratum). If an operator change or
+    // a Spark upgrade ever drops the pushdown, this pin fails and the
+    // query must move to the TopKAggregator shape.
+    for (q <- Seq("q_sample_weighted", "q_ngram_top")) {
+      val plan = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("WindowGroupLimit"),
+        s"$q lost the rank-limit pushdown:\n$plan")
+      assert(plan.contains("Partial"),
+        s"$q WindowGroupLimit is not partial (map-side):\n$plan")
+    }
   }
 
   test("dedup resolve: canonical is the component minimum") {
