@@ -95,6 +95,7 @@ object SparkEntry {
     "q_union_by_name" -> (graft.ops.Relational6.qUnionByName _),
     "q_try_funcs" -> (graft.ops.Relational6.qTryFuncs _),
     "q_sink_roundtrip" -> (graft.sources.Sources.qSinkRoundtrip _),
+    "q_bucketed_join" -> (graft.sources.Sources.qBucketedJoin _),
     "q_session_window" -> (graft.ops.Relational7.qSessionWindow _),
     "q_sql_entry" -> (graft.ops.Relational7.qSqlEntry _),
     "q_lateral_topn" -> (graft.ops.Relational7.qLateralTopN _),

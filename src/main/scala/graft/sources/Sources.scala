@@ -205,7 +205,65 @@ object Sources {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  /** Bucketed at-rest layout: hash-bucket rows into `n` buckets on
+    * `bucketCol`, sorted within each bucket file, registered in the
+    * session catalog so downstream scans see the bucketing metadata.
+    * This is the write-once / join-many lever at 100 TB: every join or
+    * aggregation keyed on `bucketCol` against a table bucketed the same
+    * way runs WITHOUT an exchange — the scan itself satisfies the
+    * required hash distribution, so petabyte-scale fact-to-fact joins
+    * (too big for broadcast, too expensive to shuffle nightly) pay the
+    * shuffle once at layout time instead of per query. The path option
+    * makes the table external (data at `path`, only metadata in the
+    * catalog), matching how a lakehouse deployment would register it.
+    */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+    bucketCol: String, n: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(n, bucketCol).sortBy(bucketCol)
+      .option("path", path)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Gate query: bucket lineitem AND orders on the order key (same bucket
+    * count), then sort-merge join them bucket-to-bucket and aggregate
+    * revenue by order priority. `BucketingSpec` pins the plan shape this
+    * exists to prove: both scans report bucketed=true and the
+    * SortMergeJoin subtree contains ZERO shuffle exchanges — the only
+    * exchange in the whole plan is the final groupBy's (3-row groups).
+    * The merge hint keeps AQE from broadcasting the small-at-sf side,
+    * since the demonstration target is the fact-to-fact shape where
+    * broadcast is not an option.
+    */
+  def qBucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(12, 2))
+    val one = lit(1).cast(DecimalType(12, 2))
+    val suffix = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_bucketed_" + suffix).getAbsolutePath
+    writeBucketed(graft.Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_extendedprice", "l_discount"),
+      s"li_bkt_$suffix", s"$base/li", "l_orderkey", 8)
+    writeBucketed(graft.Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderpriority"),
+      s"ord_bkt_$suffix", s"$base/ord", "o_orderkey", 8)
+    spark.table(s"li_bkt_$suffix").hint("merge")
+      .join(spark.table(s"ord_bkt_$suffix"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_bucketed_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_sink_roundtrip" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty

@@ -40,6 +40,37 @@ class BucketingSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("qBucketedJoin: both scans bucketed, SMJ side exchange-free") {
+    val df = graft.sources.Sources.qBucketedJoin(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val plan = df.queryExecution.executedPlan.toString
+
+    // the gate query's contract: a sort-merge join whose BOTH sides read
+    // bucketed files — neither join key may appear in a shuffle exchange
+    assert(plan.contains("SortMergeJoin"), s"no SMJ:\n${plan.take(2000)}")
+    assert(!plan.contains("Exchange hashpartitioning(l_orderkey") &&
+      !plan.contains("Exchange hashpartitioning(o_orderkey"),
+      s"bucketed gate join still exchanges a join key:\n${plan.take(3000)}")
+    assert(plan.contains("Bucketed: true"),
+      s"scan not bucketed:\n${plan.take(3000)}")
+
+    // result equality vs the plain parquet join (same decimal recipe)
+    import org.apache.spark.sql.types.DecimalType
+    def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(12, 2))
+    val one = lit(1).cast(DecimalType(12, 2))
+    val want = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = rows.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want)
+  }
+
   test("seeded sample is deterministic") {
     val a = Tables.lineitem(spark, sfDir).sample(0.1, 42L)
       .select(col("l_orderkey"), col("l_linenumber")).collect().toSeq
