@@ -101,17 +101,29 @@ object Bpe {
       s"""concat('$Sep', array_join(
          |  filter(split(lower(text), ' ', -1), t -> t != ''), '$Sep'),
          |  '$Sep')""".stripMargin).as("s")).localCheckpoint(true)
-    // the symbol array back out of s (empties are the two end markers)
-    val w = s"filter(split(s, '$Sep', -1), t -> t != '')"
+    // The symbol array back out of s (empties are the two end markers).
+    // w MUST be its own projected column, not a textually-inlined
+    // subexpression of the pair transform: higher-order functions
+    // evaluate interpreted (CodegenFallback, no subexpression
+    // elimination), so an inlined `element_at(filter(split(s)), i)`
+    // re-splits the WHOLE doc string on every element access — O(n²)
+    // per doc per iteration (measured: 25–90 s training at sf0.1
+    // depending on JIT luck, vs ~3 s linear). As a column, w survives
+    // to the Generate input as an attribute (CollapseProject never
+    // inlines a non-cheap expr referenced more than once) and each
+    // element_at is an O(1) ArrayData lookup — the same shape every
+    // other n-gram lane in this repo uses.
     val pairsCol = expr(
-      s"""CASE WHEN size($w) >= 2 THEN
-         |  transform(sequence(1, size($w) - 1),
-         |    i -> struct(element_at($w, i) AS a, element_at($w, i + 1) AS b))
-         |ELSE CAST(NULL AS ARRAY<STRUCT<a: STRING, b: STRING>>) END"""
+      """CASE WHEN size(w) >= 2 THEN
+        |  transform(sequence(1, size(w) - 1),
+        |    i -> struct(element_at(w, i) AS a, element_at(w, i + 1) AS b))
+        |ELSE CAST(NULL AS ARRAY<STRUCT<a: STRING, b: STRING>>) END"""
         .stripMargin)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     for (i <- 1 to k) {
-      val bestRows = seq.select(explode(pairsCol).as("p"))
+      val bestRows = seq
+        .withColumn("w", expr(s"filter(split(s, '$Sep', -1), t -> t != '')"))
+        .select(explode(pairsCol).as("p"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("a").asc, col("b").asc)
