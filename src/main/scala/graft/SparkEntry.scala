@@ -82,6 +82,7 @@ object SparkEntry {
     "q_stream_dedup" -> (graft.streaming.Streaming.qStreamDedup _),
     "q_stream_upsert" -> (graft.streaming.Streaming.qStreamUpsert _),
     "q_stream_static_join" -> (graft.streaming.Streaming.qStreamStaticJoin _),
+    "q_stream_first_touch" -> (graft.streaming.StateV2.qStreamFirstTouch _),
     "q_event_zscore" -> (graft.ops.Robust.qEventZscore _),
     "q_winsorize" -> (graft.ops.Robust.qWinsorize _),
     "q_feature_binning" -> (graft.ops.Robust.qFeatureBinning _),
@@ -372,7 +373,8 @@ object SparkEntry {
     graft.ops.Typed.oracles ++ graft.ops.Graph.oracles ++
     graft.ops.HeavyHitters.oracles ++
     graft.sources.Sources.oracles ++
-    graft.streaming.Streaming.oracles ++ Skew.oracles ++
+    graft.streaming.Streaming.oracles ++
+    graft.streaming.StateV2.oracles ++ Skew.oracles ++
     graft.ops.Robust.oracles ++ graft.ops.Embed.oracles ++
     graft.ops.Curate.oracles ++ graft.ops.Fuzzy.oracles ++
     graft.ops.Search.oracles
