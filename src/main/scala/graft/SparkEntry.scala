@@ -83,6 +83,8 @@ object SparkEntry {
     "q_stream_upsert" -> (graft.streaming.Streaming.qStreamUpsert _),
     "q_stream_static_join" -> (graft.streaming.Streaming.qStreamStaticJoin _),
     "q_stream_first_touch" -> (graft.streaming.StateV2.qStreamFirstTouch _),
+    "q_stream_first_touch_boot" ->
+      (graft.streaming.StateV2.qStreamFirstTouchBoot _),
     "q_event_zscore" -> (graft.ops.Robust.qEventZscore _),
     "q_winsorize" -> (graft.ops.Robust.qWinsorize _),
     "q_feature_binning" -> (graft.ops.Robust.qFeatureBinning _),

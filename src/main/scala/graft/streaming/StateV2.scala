@@ -3,7 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState, OutputMode,
-  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+  StatefulProcessor, StatefulProcessorWithInitialState, TimeMode, TimerValues,
+  TTLConfig, ValueState}
 
 /** Arbitrary streaming state on the State API v2 (`transformWithState`,
   * SPARK-49070) — the successor to [[Streaming.sessionize]]'s
@@ -46,12 +47,23 @@ object StateV2 {
 
   final case class FirstTouch(user_id: Long, event_type: String, first_sec: Long)
 
+  /** One initial-state row per user: the per-type minima a batch
+    * backfill already computed, packed into a single row so the
+    * initial-state dataset is keyed uniquely.
+    */
+  final case class BootState(user_id: Long, first: Map[String, Long])
+
   /** Per-user processor: MapState type→min-sec, ValueState of the
     * registered eviction timer (so each data batch can move it instead
     * of accumulating stale timers), event-time timer for eviction.
+    * Extends the WithInitialState variant so the SAME processor serves
+    * both the cold-start query and the batch-bootstrapped one — without
+    * an initial-state dataset, [[handleInitialState]] is simply never
+    * invoked.
     */
   final class FirstTouchProcessor
-      extends StatefulProcessor[Long, (Long, String, Long), FirstTouch] {
+      extends StatefulProcessorWithInitialState[
+        Long, (Long, String, Long), FirstTouch, BootState] {
 
     @transient private var firstSeen: MapState[String, Long] = _
     @transient private var timerAt: ValueState[Long] = _
@@ -90,6 +102,15 @@ object StateV2 {
       out.iterator
     }
 
+    override def handleInitialState(uid: Long, boot: BootState,
+        timers: TimerValues): Unit =
+      // Warm-start: seed the MapState with the backfill's minima BEFORE
+      // the first data batch. Nothing is emitted here (the API returns
+      // Unit by design — the backfill answer is already materialized
+      // batch-side); what loading buys is the emission BOUND: a streamed
+      // event at-or-above a booted minimum produces no row at all.
+      boot.first.foreach { case (tpe, sec) => firstSeen.updateValue(tpe, sec) }
+
     override def handleExpiredTimer(uid: Long, timers: TimerValues,
         info: ExpiredTimerInfo): Iterator[FirstTouch] = {
       // Eviction: drop everything for the idle user. Nothing to emit —
@@ -125,27 +146,111 @@ object StateV2 {
     * those paths on its own.
     */
   def firstTouchOver(spark: SparkSession, stage: String,
-      maxFilesPerTrigger: Option[Int]): DataFrame = {
+      maxFilesPerTrigger: Option[Int]): DataFrame =
+    minMerge(rawEmissions(spark, stage, maxFilesPerTrigger, boot = None))
+
+  /** Watermarked (user_id, event_type, sec) off the landing zone. */
+  private def typedStream(spark: SparkSession, stage: String,
+      maxFilesPerTrigger: Option[Int]) = {
     import spark.implicits._
     val reader = spark.readStream.schema(Streaming.eventSchema)
     maxFilesPerTrigger.foreach(n =>
       reader.option("maxFilesPerTrigger", n.toString))
-    val typed = reader.parquet(stage)
+    reader.parquet(stage)
       .withWatermark("ts", "2 hours")
       .select(col("user_id").as[Long], col("event_type").as[String],
         expr("CAST(floor(unix_timestamp(ts)) AS BIGINT)").as[Long])
-    val touches = typed
-      .groupByKey(_._1)
-      .transformWithState(new FirstTouchProcessor,
-        TimeMode.EventTime(), OutputMode.Update())
-    val res = withRocksDb(spark) {
+  }
+
+  /** The operator's raw emission stream run to completion — improvements
+    * only, BEFORE the min-merge (the spec asserts on these directly:
+    * with boot state loaded, an emission must beat the booted minimum).
+    */
+  def rawEmissions(spark: SparkSession, stage: String,
+      maxFilesPerTrigger: Option[Int],
+      boot: Option[org.apache.spark.sql.Dataset[BootState]]): DataFrame = {
+    import spark.implicits._
+    val typed = typedStream(spark, stage, maxFilesPerTrigger)
+    val touches = boot match {
+      case Some(b) => typed.groupByKey(_._1)
+        .transformWithState(new FirstTouchProcessor,
+          TimeMode.EventTime(), OutputMode.Update(),
+          b.groupByKey(_.user_id))
+      case None => typed.groupByKey(_._1)
+        .transformWithState(new FirstTouchProcessor,
+          TimeMode.EventTime(), OutputMode.Update())
+    }
+    withRocksDb(spark) {
       Streaming.runToMemory(touches.toDF(),
         s"graft_stream_first_touch_${StateV2.runSeq.incrementAndGet()}",
         OutputMode.Update())
     }
-    res.groupBy(col("user_id"), col("event_type"))
+  }
+
+  private def minMerge(df: DataFrame): DataFrame =
+    df.groupBy(col("user_id"), col("event_type"))
       .agg(min(col("first_sec")).as("first_sec"))
       .orderBy("user_id", "event_type")
+
+  /** The batch side of the warm start: first-touch minima over the
+    * backfill slice (event_id % 3 == 0 — an ARBITRARY split, which is
+    * the stronger test: either side can own any (user, type) minimum).
+    */
+  def bootFirstTouch(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.events(spark, dir)
+      .where(col("event_id") % 3 === 0)
+      .select(col("user_id"), col("event_type"),
+        expr("CAST(floor(unix_timestamp(ts)) AS BIGINT)").as("first_sec"))
+      .groupBy("user_id", "event_type")
+      .agg(min("first_sec").as("first_sec"))
+
+  /** [[bootFirstTouch]] packed one-row-per-user for the initial-state
+    * contract (the dataset must be uniquely keyed).
+    */
+  def bootStates(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[BootState] = {
+    import spark.implicits._
+    bootFirstTouch(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(map_from_arrays(collect_list(col("event_type")),
+        collect_list(col("first_sec"))).as("first"))
+      .as[BootState]
+  }
+
+  /** Stage ONLY the live slice (event_id % 3 != 0) as the landing zone
+    * for the bootstrapped query; once per (dir) per JVM.
+    */
+  private val bootStaged =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  def stageLiveSlice(spark: SparkSession, dir: String): String = {
+    val stage = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_stream_live_" + dir.replaceAll("[^a-zA-Z0-9]", "_"))
+      .getAbsolutePath
+    if (bootStaged.add(stage))
+      graft.Tables.events(spark, dir).where(col("event_id") % 3 =!= 0)
+        .write.mode("overwrite").parquet(stage)
+    stage
+  }
+
+  /** Warm-started first-touch — the production migration path: a batch
+    * backfill already computed first-touch up to a cutover, and the
+    * streaming query CONTINUES it instead of replaying history. The
+    * backfill minima load into the state store via the initial-state
+    * dataset before the first micro-batch ([[FirstTouchProcessor
+    * .handleInitialState]]); the live slice then streams as usual, and
+    * the final answer is the min-merge of the materialized backfill
+    * with the stream's emissions. Exactness is the same MIN algebra as
+    * the cold-start query — which is why the two share one oracle
+    * verbatim. What the boot buys at scale: the stream never re-reads
+    * history (the backfill was one batch job), and booted minima
+    * suppress emissions the cold start would have made.
+    */
+  def qStreamFirstTouchBoot(spark: SparkSession, dir: String): DataFrame = {
+    val stage = stageLiveSlice(spark, dir)
+    val emissions = rawEmissions(spark, stage, maxFilesPerTrigger = None,
+      boot = Some(bootStates(spark, dir)))
+    minMerge(bootFirstTouch(spark, dir)
+      .unionByName(emissions.select("user_id", "event_type", "first_sec")))
   }
 
   private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -165,11 +270,16 @@ object StateV2 {
     }
   }
 
+  private val firstTouchSql =
+    """SELECT user_id, event_type,
+      |  MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS first_sec
+      |FROM events GROUP BY user_id, event_type
+      |ORDER BY user_id, event_type""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "q_stream_first_touch" ->
-      """SELECT user_id, event_type,
-        |  MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS first_sec
-        |FROM events GROUP BY user_id, event_type
-        |ORDER BY user_id, event_type""".stripMargin,
+    "q_stream_first_touch" -> firstTouchSql,
+    // warm start must land on the identical answer — share the oracle
+    // verbatim, so any boot/stream split error hash-fails
+    "q_stream_first_touch_boot" -> firstTouchSql,
   )
 }
