@@ -255,6 +255,47 @@ object StateV2 {
 
   private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Run the cold-start first-touch stream to completion against a
+    * PINNED checkpoint (the gate uses throwaway checkpoints; a pinned
+    * one is what the state reader below inspects — and what a real
+    * deployment restarts from).
+    */
+  def runFirstTouchCheckpointed(spark: SparkSession, stage: String,
+      ckpt: String): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val touches = typedStream(spark, stage, maxFilesPerTrigger = None)
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .transformWithState(new FirstTouchProcessor,
+        TimeMode.EventTime(), OutputMode.Update())(
+        Encoders.product[FirstTouch])
+    withRocksDb(spark) {
+      val q = touches.toDF().writeStream.format("memory")
+        .queryName(s"graft_first_touch_ckpt_${runSeq.incrementAndGet()}")
+        .outputMode(OutputMode.Update())
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+  }
+
+  /** Offline state analytics — the `statestore` data source over the
+    * query's own checkpoint, flattened to the operator's domain schema.
+    * This is the operational debugging surface at 100 TB: live state
+    * (who is ACTIVE, what minima they hold) is queryable with plain
+    * DataFrame ops, no stream restart, no state dump hooks — and it
+    * reads the same RocksDB snapshots the query runs on, so what it
+    * shows is what the operator would see. The MapState variable
+    * surfaces as one row per (grouping key, map key).
+    */
+  def readFirstTouchState(spark: SparkSession, ckpt: String): DataFrame =
+    spark.read.format("statestore")
+      .option("path", ckpt)
+      .option("stateVarName", "firstSeen")
+      .load()
+      .select(col("key.value").as("user_id"),
+        col("user_map_key.value").as("event_type"),
+        col("user_map_value.value").as("first_sec"))
+
   /** Run `body` with the RocksDB state store provider — required by
     * transformWithState; restored after, so the rest of the gate keeps
     * the session default.

@@ -60,6 +60,33 @@ class StateV2Spec extends SparkTestBase {
     assert(liveMin.exists { case (k, sec) => boot.get(k).exists(sec >= _) })
   }
 
+  test("statestore reader: checkpointed MapState == batch minima for survivors") {
+    // Run against a pinned checkpoint, then audit the live state
+    // OFFLINE with the statestore data source — no restart, no hooks.
+    // Two invariants: (a) every surviving state row holds exactly the
+    // batch minimum for its (user, type) — state content is never
+    // stale or partial; (b) eviction is per-user all-or-nothing (the
+    // timer clears the whole MapState), so a surviving user holds their
+    // complete type set. Eviction must also have actually fired — a
+    // reader showing all users would mean the timers never ran.
+    val stage = Files.createTempDirectory("graft-tws-ckpt-stage").toString
+    graft.Tables.events(spark, sfDir).write.mode("overwrite").parquet(stage)
+    val ckpt = Files.createTempDirectory("graft-tws-ckpt").toString
+    StateV2.runFirstTouchCheckpointed(spark, stage, ckpt)
+    val state = StateV2.readFirstTouchState(spark, ckpt)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+    assert(state.nonEmpty)
+    val want = batchAnswer()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(state.forall { case (k, sec) => want.get(k).contains(sec) })
+    val typesPerUser = want.keys.groupBy(_._1).view.mapValues(_.size).toMap
+    val survivorTypes = state.map(_._1).groupBy(_._1).view.mapValues(_.size)
+    assert(survivorTypes.forall { case (u, n) => typesPerUser(u) == n },
+      "partial per-user state: eviction should clear whole users")
+    assert(survivorTypes.size < typesPerUser.size,
+      "no user was evicted — inactivity timers never fired")
+  }
+
   test("first-touch exact under multi-batch execution (cross-batch state + timers)") {
     // Stage into 8 files and feed them ONE per micro-batch: rows for the
     // same user now arrive across many batches in file order (not time
