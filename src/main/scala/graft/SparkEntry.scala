@@ -85,6 +85,7 @@ object SparkEntry {
     "q_stream_first_touch" -> (graft.streaming.StateV2.qStreamFirstTouch _),
     "q_stream_first_touch_boot" ->
       (graft.streaming.StateV2.qStreamFirstTouchBoot _),
+    "q_stream_sessions_v2" -> (graft.streaming.StateV2.qStreamSessionsV2 _),
     "q_event_zscore" -> (graft.ops.Robust.qEventZscore _),
     "q_winsorize" -> (graft.ops.Robust.qWinsorize _),
     "q_feature_binning" -> (graft.ops.Robust.qFeatureBinning _),

@@ -752,9 +752,16 @@ object Dedup {
              graft.ops.HyperplaneLsh.DefaultTables,
              graft.ops.HyperplaneLsh.DefaultBits,
              graft.ops.HyperplaneLsh.DefaultDim)},
+         |hotb AS (
+         |  SELECT t, bucket FROM b
+         |  GROUP BY t, bucket HAVING COUNT(*) > $EmbedBucketCap),
+         |kb AS (
+         |  SELECT * FROM b bb
+         |  WHERE NOT EXISTS (SELECT 1 FROM hotb h
+         |    WHERE h.t = bb.t AND h.bucket = bb.bucket)),
          |cand AS (
          |  SELECT DISTINCT a.vec_id AS va, b2.vec_id AS vb
-         |  FROM b a JOIN b b2 ON a.t = b2.t AND a.bucket = b2.bucket
+         |  FROM kb a JOIN kb b2 ON a.t = b2.t AND a.bucket = b2.bucket
          |    AND a.vec_id < b2.vec_id),
          |e AS (
          |  SELECT vec_id, embedding,

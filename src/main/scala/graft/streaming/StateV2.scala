@@ -2,9 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState, OutputMode,
-  StatefulProcessor, StatefulProcessorWithInitialState, TimeMode, TimerValues,
-  TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, MapState,
+  OutputMode, StatefulProcessor, StatefulProcessorWithInitialState, TimeMode,
+  TimerValues, TTLConfig, ValueState}
 
 /** Arbitrary streaming state on the State API v2 (`transformWithState`,
   * SPARK-49070) — the successor to [[Streaming.sessionize]]'s
@@ -311,6 +311,119 @@ object StateV2 {
     }
   }
 
+  final case class SessionRec(user_id: Long, start_sec: Long, end_sec: Long,
+    n_events: Long)
+
+  /** Exact per-session RECORDS via ListState — the buffer-until-
+    * finalization pattern, and the third v2 state primitive in this
+    * lane (first-touch covers ValueState + MapState). Events buffer in
+    * a per-user ListState until the inactivity timer proves every
+    * buffered session closed (the watermark passed last-event + gap);
+    * the timer handler then splits the buffer into gap-islands and
+    * emits one (start, end, n_events) row PER SESSION, exactly once,
+    * and drops the user's state wholesale.
+    *
+    * What this buys over the other two sessionization lanes: the
+    * mapGroupsWithState lane ([[Streaming.updateSessions]]) keeps O(1)
+    * state but can only emit per-user running deltas (no session
+    * records); the `session_window` lane emits records but its state
+    * and semantics are fixed by the built-in generator. This one emits
+    * true per-session records under CUSTOM finalization logic — the
+    * shape for session-scoped feature extraction (funnel paths, dwell
+    * distributions) where the whole event list must be in hand at
+    * close. The cost is honest: state is O(events inside the horizon
+    * per active user) — the price of any whole-session computation —
+    * bounded by the same timer eviction, appended (never rewritten)
+    * per batch, which RocksDB turns into pure sequential writes.
+    */
+  final class SessionRecordProcessor
+      extends StatefulProcessor[Long, (Long, Long), SessionRec] {
+
+    @transient private var pending: ListState[Long] = _
+    @transient private var lastSec: ValueState[Long] = _
+    @transient private var timerAt: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      pending = getHandle.getListState[Long](
+        "pending", Encoders.scalaLong, TTLConfig.NONE)
+      lastSec = getHandle.getValueState[Long](
+        "lastSec", Encoders.scalaLong, TTLConfig.NONE)
+      timerAt = getHandle.getValueState[Long](
+        "timerAt", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(uid: Long, rows: Iterator[(Long, Long)],
+        timers: TimerValues): Iterator[SessionRec] = {
+      var mx = if (lastSec.exists()) lastSec.get() else Long.MinValue
+      rows.foreach { case (_, sec) =>
+        pending.appendValue(sec)
+        if (sec > mx) mx = sec
+      }
+      lastSec.update(mx)
+      if (timerAt.exists()) getHandle.deleteTimer(timerAt.get())
+      val target = math.max((mx + Streaming.SessionGapSec) * 1000L,
+        timers.getCurrentWatermarkInMs() + 1L)
+      getHandle.registerTimer(target)
+      timerAt.update(target)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(uid: Long, timers: TimerValues,
+        info: ExpiredTimerInfo): Iterator[SessionRec] = {
+      // The watermark passed lastSec + gap, so every buffered event's
+      // session is closed: sort, split into gap-islands, emit each once.
+      // end = last event + gap mirrors session_window's window end, so
+      // this lane shares the batch gaps-and-islands oracle verbatim.
+      val secs = pending.get().toArray
+      pending.clear(); lastSec.clear(); timerAt.clear()
+      java.util.Arrays.sort(secs)
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionRec]
+      var i = 0
+      while (i < secs.length) {
+        var j = i
+        while (j + 1 < secs.length &&
+          secs(j + 1) - secs(j) <= Streaming.SessionGapSec) j += 1
+        out += SessionRec(uid, secs(i),
+          secs(j) + Streaming.SessionGapSec, j - i + 1L)
+        i = j + 1
+      }
+      out.iterator
+    }
+  }
+
+  /** Streaming session records as a gate query: sentinel-staged zone →
+    * ListState buffering → timer-driven finalization → the exact batch
+    * `session_window` answer (oracle shared verbatim). The sentinel
+    * machinery is [[Streaming.runWithSentinelFlush]]'s: the second
+    * far-future arrival gives the final watermark advance a batch to
+    * fire the eviction timers into; sentinel-user rows drop from the
+    * projection.
+    */
+  def qStreamSessionsV2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (stage, maxTs) = Streaming.sentinelStage(spark, dir)
+    val typed = spark.readStream.schema(Streaming.eventSchema).parquet(stage)
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id").as[Long],
+        expr("CAST(floor(unix_timestamp(ts)) AS BIGINT)").as[Long])
+    val recs = typed.groupByKey(_._1)
+      .transformWithState(new SessionRecordProcessor,
+        TimeMode.EventTime(), OutputMode.Update())
+    val res = withRocksDb(spark) {
+      Streaming.runWithSentinelFlush(spark, stage, maxTs, recs.toDF(),
+        s"graft_stream_sess_v2_${runSeq.incrementAndGet()}",
+        OutputMode.Update())
+    }
+    res.filter(col("user_id") >= 0)
+      .select(col("user_id"),
+        date_format(timestamp_seconds(col("start_sec")),
+          "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(timestamp_seconds(col("end_sec")),
+          "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+  }
+
   private val firstTouchSql =
     """SELECT user_id, event_type,
       |  MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS first_sec
@@ -322,5 +435,9 @@ object StateV2 {
     // warm start must land on the identical answer — share the oracle
     // verbatim, so any boot/stream split error hash-fails
     "q_stream_first_touch_boot" -> firstTouchSql,
+    // ListState finalization must reproduce the batch session_window
+    // answer exactly — third sessionization lane on the same oracle
+    "q_stream_sessions_v2" ->
+      graft.ops.Relational7.oracles("q_session_window"),
   )
 }

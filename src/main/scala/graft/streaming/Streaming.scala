@@ -314,7 +314,7 @@ object Streaming {
     * right after — one later append then suffices to flush final state.
     * Returns (stagePath, maxRealTs).
     */
-  private def sentinelStage(spark: SparkSession, dir: String)
+  private[streaming] def sentinelStage(spark: SparkSession, dir: String)
     : (String, java.sql.Timestamp) = {
     val stage = new java.io.File(sys.props("java.io.tmpdir"),
       "graft_stream_sn_" + dir.replaceAll("[^a-zA-Z0-9]", "_"))
@@ -334,11 +334,12 @@ object Streaming {
     * zone never flushes its tail on its own — eviction always lands in
     * the batch AFTER the watermark advance).
     */
-  private def runWithSentinelFlush(spark: SparkSession, stage: String,
-    maxTs: java.sql.Timestamp, df: DataFrame, name: String): DataFrame =
+  private[streaming] def runWithSentinelFlush(spark: SparkSession,
+    stage: String, maxTs: java.sql.Timestamp, df: DataFrame, name: String,
+    mode: OutputMode = OutputMode.Append()): DataFrame =
     withStatePartitions(spark) {
       val q = df.writeStream.format("memory").queryName(name)
-        .outputMode(OutputMode.Append())
+        .outputMode(mode)
         .trigger(Trigger.ProcessingTime(0L))
         .start()
       q.processAllAvailable()                   // real data + sentinel 1

@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 
 import graft.streaming.{StateV2, Streaming}
 
@@ -85,6 +86,62 @@ class StateV2Spec extends SparkTestBase {
       "partial per-user state: eviction should clear whole users")
     assert(survivorTypes.size < typesPerUser.size,
       "no user was evicted — inactivity timers never fired")
+  }
+
+  test("ListState sessionizer == batch session_window records") {
+    val got = StateV2.qStreamSessionsV2(spark, sfDir).collect().toSeq
+    val want = graft.ops.Relational7.qSessionWindow(spark, sfDir)
+      .collect().toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("ListState sessionizer folds a late-but-in-horizon event across batches") {
+    // Three hand-driven micro-batches: user 1's events arrive 1000,
+    // then {900, 2000} — 900 is LATE relative to batch 1's maximum but
+    // inside the 2-hour horizon — then a far-future sentinel advances
+    // the watermark and fires the finalization timer. The buffer must
+    // hold {900, 1000, 2000} at close: one session (gaps 100 and 1000,
+    // both <= 1800), start 900, end 2000+1800, three events. A
+    // processor that finalized eagerly per batch, or dropped the late
+    // row, splits or shrinks the session.
+    import spark.implicits._
+    def slice(uid: Long, rows: Seq[(Long, Long)]) = rows.toDF("event_id", "sec")
+      .select(col("event_id"),
+        expr("timestamp_seconds(sec)").as("ts"),
+        lit(uid).as("user_id"), lit("click").as("event_type"),
+        lit(0.0).as("value"), lit(null).cast("string").as("props"))
+    val stage = Files.createTempDirectory("graft-tws-late").toString
+    slice(1L, Seq((1L, 1000L))).write.mode("append").parquet(stage)
+    val typed = spark.readStream.schema(Streaming.eventSchema).parquet(stage)
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id").as[Long],
+        expr("CAST(floor(unix_timestamp(ts)) AS BIGINT)").as[Long])
+    val recs = typed.groupByKey(_._1)
+      .transformWithState(new StateV2.SessionRecordProcessor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Update())
+    val got = StateV2.withRocksDb(spark) {
+      val q = recs.toDF().writeStream.format("memory")
+        .queryName("tws_late").outputMode(OutputMode.Update())
+        .trigger(Trigger.ProcessingTime(0L)).start()
+      q.processAllAvailable()                      // batch 1: 1000
+      slice(1L, Seq((2L, 900L), (3L, 2000L)))
+        .write.mode("append").parquet(stage)
+      q.processAllAvailable()                      // batch 2: late 900 + 2000
+      // two sentinel arrivals on a DIFFERENT key: the first advances the
+      // watermark past user 1's timer target, the second provides the
+      // batch the timer fires into (eviction always lands in the batch
+      // AFTER the watermark advance — same mechanics as
+      // runWithSentinelFlush)
+      slice(-1L, Seq((-8L, 1000000L))).write.mode("append").parquet(stage)
+      q.processAllAvailable()
+      slice(-1L, Seq((-9L, 2000000L))).write.mode("append").parquet(stage)
+      q.processAllAvailable()                      // user 1's timer fires
+      q.stop()
+      spark.table("tws_late")
+    }.where(col("user_id") >= 0).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))).toSeq == Seq((1L, 900L, 3800L, 3L)))
   }
 
   test("first-touch exact under multi-batch execution (cross-batch state + timers)") {
