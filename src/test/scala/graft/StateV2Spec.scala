@@ -144,6 +144,67 @@ class StateV2Spec extends SparkTestBase {
       r.getLong(3))).toSeq == Seq((1L, 900L, 3800L, 3L)))
   }
 
+  test("ListState survives a checkpoint restart (kill between batches)") {
+    // Durability proof for the v2 state machinery: stop the query after
+    // the buffer holds event 1000, then RESTART from the same
+    // checkpoint with the rest of the feed. The restarted processor
+    // must finalize {900, 1000, 2000} as ONE session — if the ListState
+    // (or the registered timer metadata) did not round-trip through the
+    // checkpoint, event 1000 vanishes and the session comes back as
+    // (900, 3800, 2) or split. Unlike first-touch, whose MIN-merge
+    // would mask state loss, the sessionizer's buffer is load-bearing.
+    import spark.implicits._
+    def slice(uid: Long, rows: Seq[(Long, Long)]) = rows.toDF("event_id", "sec")
+      .select(col("event_id"),
+        expr("timestamp_seconds(sec)").as("ts"),
+        lit(uid).as("user_id"), lit("click").as("event_type"),
+        lit(0.0).as("value"), lit(null).cast("string").as("props"))
+    val stage = Files.createTempDirectory("graft-tws-restart").toString
+    val ckpt = Files.createTempDirectory("graft-tws-restart-ck").toString
+    // foreachBatch sink (the memory sink refuses checkpoint recovery);
+    // keyed by batchId so a replayed batch after restart overwrites
+    // rather than duplicates — the standard idempotent-sink contract.
+    val sunk = new java.util.concurrent.ConcurrentHashMap[
+      java.lang.Long, Seq[(Long, Long, Long, Long)]]()
+    def start() = {
+      val typed = spark.readStream.schema(Streaming.eventSchema)
+        .parquet(stage)
+        .withWatermark("ts", "2 hours")
+        .select(col("user_id").as[Long],
+          expr("CAST(floor(unix_timestamp(ts)) AS BIGINT)").as[Long])
+      typed.groupByKey(_._1)
+        .transformWithState(new StateV2.SessionRecordProcessor,
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          OutputMode.Update())
+        .toDF().writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          sunk.put(id, df.collect().toSeq.map(r =>
+            (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))))
+          ()
+        }
+        .outputMode(OutputMode.Update())
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime(0L)).start()
+    }
+    StateV2.withRocksDb(spark) {
+      slice(1L, Seq((1L, 1000L))).write.mode("append").parquet(stage)
+      val q1 = start()
+      q1.processAllAvailable()
+      q1.stop()                                  // kill with state buffered
+      slice(1L, Seq((2L, 900L), (3L, 2000L)))
+        .write.mode("append").parquet(stage)
+      slice(-1L, Seq((-8L, 1000000L))).write.mode("append").parquet(stage)
+      val q2 = start()                           // resume from checkpoint
+      q2.processAllAvailable()
+      slice(-1L, Seq((-9L, 2000000L))).write.mode("append").parquet(stage)
+      q2.processAllAvailable()
+      q2.stop()
+    }
+    import scala.jdk.CollectionConverters._
+    val got = sunk.values.asScala.flatten.filter(_._1 >= 0).toSeq
+    assert(got == Seq((1L, 900L, 3800L, 3L)))
+  }
+
   test("first-touch exact under multi-batch execution (cross-batch state + timers)") {
     // Stage into 8 files and feed them ONE per micro-batch: rows for the
     // same user now arrive across many batches in file order (not time
