@@ -399,9 +399,15 @@ object StateV2 {
     * fire the eviction timers into; sentinel-user rows drop from the
     * projection.
     */
-  def qStreamSessionsV2(spark: SparkSession, dir: String): DataFrame = {
+  /** The ListState session pipeline over any sentinel-staged landing
+    * zone (public so the scale probe can drive it on replicated feeds):
+    * runs to completion with the two-sentinel flush and returns the raw
+    * (user_id, start_sec, end_sec, n_events) records, sentinels
+    * included — callers filter/project.
+    */
+  def sessionRecordsOver(spark: SparkSession, stage: String,
+      maxTs: java.sql.Timestamp): DataFrame = {
     import spark.implicits._
-    val (stage, maxTs) = Streaming.sentinelStage(spark, dir)
     val typed = spark.readStream.schema(Streaming.eventSchema).parquet(stage)
       .withWatermark("ts", "2 hours")
       .select(col("user_id").as[Long],
@@ -409,12 +415,17 @@ object StateV2 {
     val recs = typed.groupByKey(_._1)
       .transformWithState(new SessionRecordProcessor,
         TimeMode.EventTime(), OutputMode.Update())
-    val res = withRocksDb(spark) {
+    withRocksDb(spark) {
       Streaming.runWithSentinelFlush(spark, stage, maxTs, recs.toDF(),
         s"graft_stream_sess_v2_${runSeq.incrementAndGet()}",
         OutputMode.Update())
     }
-    res.filter(col("user_id") >= 0)
+  }
+
+  def qStreamSessionsV2(spark: SparkSession, dir: String): DataFrame = {
+    val (stage, maxTs) = Streaming.sentinelStage(spark, dir)
+    sessionRecordsOver(spark, stage, maxTs)
+      .filter(col("user_id") >= 0)
       .select(col("user_id"),
         date_format(timestamp_seconds(col("start_sec")),
           "yyyy-MM-dd HH:mm:ss").as("session_start"),

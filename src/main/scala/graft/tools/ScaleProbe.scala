@@ -348,6 +348,49 @@ object ScaleProbe {
         toks.groupBy(col("t")).count().count())
       toks.unpersist()
     }
+    // Streaming state lane: replicate the event feed k× with DISTINCT
+    // users per replica (user-stride offsets), so active-user state and
+    // the per-user session count both grow ×k — the realistic growth
+    // axis for the ListState sessionizer (more users, not longer
+    // histories). Runtime per run-to-completion must stay ~linear and
+    // the session count must be exactly k× the base: superlinear time
+    // would flag per-key cost leaking into other keys; a session-count
+    // drift would flag state bleeding across replicas. Staging is
+    // outside the timed region; the timed region is the full
+    // stream-to-completion including the sentinel flush.
+    locally {
+      val baseEv = graft.Tables.events(spark, sfDir)
+      val nE = baseEv.count()
+      val userStride = 10000000L
+      var sessBase = -1L
+      Seq(1, 4, 10).foreach { k =>
+        val ev = (0 until k).map(i => baseEv
+            .withColumn("user_id", col("user_id") + lit(i * userStride))
+            .withColumn("event_id", col("event_id") + lit(i * nE)))
+          .reduce(_ union _)
+        val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+        val stage = java.nio.file.Files
+          .createTempDirectory(s"graft-probe-sess-$k").toString
+        ev.coalesce(1).write.mode("overwrite").parquet(stage)
+        spark.range(0, 1, 1, 1).select(
+            lit(-2L).as("event_id"),
+            lit(new java.sql.Timestamp(maxTs.getTime + 24L * 3600 * 1000))
+              .as("ts"),
+            lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+            lit(0.0).as("value"), lit(null).cast("string").as("props"))
+          .write.mode("append").parquet(stage)
+        var rows = -1L
+        time(s"sessions_v2 ${k}x") {
+          rows = graft.streaming.StateV2
+            .sessionRecordsOver(spark, stage, maxTs)
+            .filter(col("user_id") >= 0).count()
+          rows
+        }
+        if (sessBase < 0) sessBase = rows
+        require(rows == sessBase * k,
+          s"session count must scale exactly ×k: $rows != $sessBase×$k")
+      }
+    }
     spark.stop()
   }
 }
