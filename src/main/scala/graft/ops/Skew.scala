@@ -19,8 +19,10 @@ import graft.Tables
   *  - salted broadcast-free join: explode the small side N× (one copy per
   *    salt), salt the big side with pmod(hash(row-id), N) — each hot-key
   *    shard joins against its own copy. (AQE's skewedJoin does this
-  *    adaptively at runtime; this is the explicit form for when the
-  *    planner must be forced.)
+  *    adaptively at runtime — `AqeSkewSpec` proves it fires on a 90%-hot
+  *    key and is result-invisible; this explicit form remains for when
+  *    the planner must be forced, e.g. skewed AGGREGATION, which AQE's
+  *    skew-join does not cover.)
   */
 object Skew {
 
