@@ -100,6 +100,7 @@ object SparkEntry {
     "q_try_funcs" -> (graft.ops.Relational6.qTryFuncs _),
     "q_sink_roundtrip" -> (graft.sources.Sources.qSinkRoundtrip _),
     "q_bucketed_join" -> (graft.sources.Sources.qBucketedJoin _),
+    "q_zorder_scan" -> (graft.sources.Sources.qZOrderScan _),
     "q_session_window" -> (graft.ops.Relational7.qSessionWindow _),
     "q_sql_entry" -> (graft.ops.Relational7.qSqlEntry _),
     "q_lateral_topn" -> (graft.ops.Relational7.qLateralTopN _),

@@ -27,6 +27,19 @@ import org.apache.spark.sql.SparkSession
   * d = left-to-right double accumulation of (CAST(x AS DOUBLE) − c)²
   * over min(dim) elements, ranking by (d asc, label asc) — so the gate
   * hashes are unchanged by construction.
+  *
+  * `CodegenFallback` is deliberate, not an omission (contrast
+  * [[CosineSimilarity]], which implements `doGenCode`): the 100× cost
+  * was the per-element interpreted-lambda frames and boxing of the HOF
+  * form, and the primitive `while`-loops over `ArrayData` plus the
+  * per-thread codebook cache already remove exactly that (measured
+  * 119–139 s → 6–16 s at the 100× stage). A `doGenCode` body would
+  * re-emit the same loops inside the generated class but could NOT keep
+  * the JVM-level parsed-codebook cache (codegen templates splice
+  * strings, not objects), so it would re-decode the 1 000×64 codebook
+  * per row or fall back to the same static-cache trick through a
+  * reflective call — extra surface for no measured win. Revisit only if
+  * a profile shows the eval() virtual-call boundary itself dominating.
   */
 case class IvfNearest(first: Expression, second: Expression, third: Expression)
   extends TernaryExpression with CodegenFallback {

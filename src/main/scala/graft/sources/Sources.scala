@@ -258,7 +258,50 @@ object Sources {
       .orderBy("o_orderpriority")
   }
 
+  private val zOrderStaged =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Gate query for the Z-ordered layout: write lineitem's
+    * (l_partkey, l_suppkey, l_quantity) z-ordered on the two keys (once
+    * per dir per JVM — a layout is write-once / scan-many by
+    * definition), then answer a ~1%-of-the-key-plane box scan from it,
+    * aggregated per supplier. The oracle is the SAME box over the
+    * original un-ordered table, so the gate proves the layout is
+    * answer-preserving; the scan-efficiency claim this layout exists
+    * for — the pushed min/max box skips the row groups of every file
+    * outside the box rectangle — is pinned by `ZOrderSpec` on BOTH this
+    * gate query's own leaf metrics (rows actually produced by the scan)
+    * and a round-robin control layout (~10× more rows read), and the
+    * plan's `PushedFilters` line is in PLANS.md.
+    */
+  def qZOrderScan(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val suffix = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_zorder_" + suffix).getAbsolutePath
+    val base = graft.Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+    if (zOrderStaged.add(s"$dir->$out"))
+      writeZOrdered(base, out, "l_partkey", "l_suppkey", 16)
+    val r = base.agg(max("l_partkey"), max("l_suppkey")).head()
+    val (maxP, maxS) = (r.getLong(0), r.getLong(1))
+    spark.read.parquet(out)
+      .filter(col("l_partkey") <= maxP / 10 && col("l_suppkey") <= maxS / 10)
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast(DecimalType(12, 2))).cast("double")
+          .as("sum_qty"))
+      .orderBy("l_suppkey")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_zorder_scan" ->
+      """SELECT l_suppkey, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_partkey <= (SELECT max(l_partkey) // 10 FROM lineitem)
+        |  AND l_suppkey <= (SELECT max(l_suppkey) // 10 FROM lineitem)
+        |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
     "q_bucketed_join" ->
       """SELECT o_orderpriority, COUNT(*) AS n_items,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue

@@ -275,6 +275,7 @@ object StateV2 {
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      Streaming.recordPlan(q)
     }
   }
 

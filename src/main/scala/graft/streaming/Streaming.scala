@@ -181,7 +181,43 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    recordPlan(q)
     df.sparkSession.table(name)
+  }
+
+  /** When non-null (set only by `graft.tools.ExplainDump`), every
+    * streaming runner deposits its query's LAST EXECUTED micro-batch
+    * physical plan here (keyed by the memory-sink query name) just
+    * before handing back the result — the hook that gets streaming
+    * plans into PLANS.md. A streaming frame has no `queryExecution`
+    * until a micro-batch actually plans it (watermarks and stateful
+    * operators only materialize inside `IncrementalExecution`), so the
+    * dump has to ride an actual run; gate/bench runs leave this null
+    * and pay nothing.
+    */
+  @volatile private[graft] var planSink:
+    java.util.concurrent.ConcurrentHashMap[String, String] = null
+
+  /** Capture `q`'s last micro-batch plan into [[planSink]] via the
+    * public `StreamingQuery.explain` (prints the FORMATTED physical
+    * plan of `lastExecution` to Console.out — redirected here). Safe
+    * after termination: `StreamExecution` retains its last
+    * `IncrementalExecution`.
+    */
+  private[graft] def recordPlan(
+    q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val sink = planSink
+    if (sink != null) {
+      val buf = new java.io.ByteArrayOutputStream()
+      try {
+        Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+          q.explain(extended = false)
+        }
+        sink.put(q.name, buf.toString("UTF-8"))
+      } catch {
+        case e: Throwable => sink.put(q.name, s"<explain failed: $e>")
+      }
+    }
   }
 
   private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -306,12 +342,19 @@ object Streaming {
     lit(null).cast("string").as("props"))
 
   /** Stage `dir`'s events as a landing zone whose LAST row is a
-    * far-future sentinel: one file for the real data (a single batch —
-    * no intra-stream lateness from arbitrary file ordering; a real feed
-    * arrives in near-time-order, which is what this models), plus the
-    * first sentinel riding along. The watermark is 0 while the initial
-    * batch executes (nothing late) and advances past every real event
-    * right after — one later append then suffices to flush final state.
+    * far-future sentinel: one time-ordered file for the real data (a
+    * single batch in strict event-time order — a real feed arrives in
+    * near-time-order, which is what this models), plus the first
+    * sentinel riding along. The watermark is 0 while the initial batch
+    * executes (nothing late) and advances past every real event right
+    * after — one later append then suffices to flush final state.
+    *
+    * `repartition(1)` (NOT `coalesce(1)`: coalesce collapses the
+    * upstream scan into the same single task — the identical idiom
+    * Verify once shipped and fixed) keeps the source read parallel and
+    * pays one shuffle into a single writer; the explicit
+    * `(ts, event_id)` sort makes the file's row order deterministic
+    * rather than inheriting whatever order the shuffle delivers.
     * Returns (stagePath, maxRealTs).
     */
   private[streaming] def sentinelStage(spark: SparkSession, dir: String)
@@ -322,7 +365,8 @@ object Streaming {
     val ev = graft.Tables.events(spark, dir)
     val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
     if (stagedDirs.add(s"$dir->$stage")) {
-      ev.coalesce(1).write.mode("overwrite").parquet(stage)
+      ev.repartition(1).sortWithinPartitions("ts", "event_id")
+        .write.mode("overwrite").parquet(stage)
       sentinelRow(spark, maxTs, 1).write.mode("append").parquet(stage)
     }
     (stage, maxTs)
@@ -345,6 +389,7 @@ object Streaming {
       q.processAllAvailable()                   // real data + sentinel 1
       sentinelRow(spark, maxTs, 2).write.mode("append").parquet(stage)
       q.processAllAvailable()                   // eviction batch emits
+      recordPlan(q)
       q.stop()
       spark.table(name)
     }
@@ -536,6 +581,7 @@ object Streaming {
     val q = spark.readStream.schema(eventSchema)
       .option("maxFilesPerTrigger", "1").parquet(stage)
       .writeStream
+      .queryName(s"graft_stream_upsert_$run")
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         upsertMergeBatch(spark, batch, target, batchId)
@@ -543,6 +589,7 @@ object Streaming {
       }
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    recordPlan(q)
     readUpsertStore(spark, target, lastBatch)
   }
 

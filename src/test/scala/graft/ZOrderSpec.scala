@@ -17,7 +17,21 @@ class ZOrderSpec extends SparkTestBase {
     // aggregate query and leave these metrics untouched)
     val plan = df.queryExecution.executedPlan
     plan.execute().count()
-    plan.collectLeaves().map(_.metrics("numOutputRows").value).sum
+    // a plan with exchanges arrives wrapped in AdaptiveSparkPlanExec
+    // (itself a leaf node) — descend into the executed inner plan, and
+    // through materialized query stages, to reach the real scan leaves
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scanLeaves(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => scanLeaves(a.executedPlan)
+      case q: QueryStageExec => scanLeaves(q.plan)
+      case other => other.collectLeaves().flatMap {
+        case n @ (_: AdaptiveSparkPlanExec | _: QueryStageExec) => scanLeaves(n)
+        case l => Seq(l)
+      }
+    }
+    scanLeaves(plan)
+      .map(_.metrics.get("numOutputRows").map(_.value).getOrElse(0L)).sum
   }
 
   test("z-ordered layout skips row groups a round-robin layout cannot") {
@@ -48,5 +62,17 @@ class ZOrderSpec extends SparkTestBase {
     // z-ordered files are tight rectangles: most row groups are skipped
     assert(zScan * 2 <= plainScan,
       s"z-order scanned $zScan vs plain $plainScan")
+  }
+
+  // the oracle-gated query (q_zorder_scan) must actually EXHIBIT the
+  // skipping the layout exists for — pin its own leaf scan metric, not
+  // just the synthetic A/B layout above
+  test("gate query q_zorder_scan's scan skips most of the table") {
+    val df = Sources.qZOrderScan(spark, sfDir)
+    val total = Tables.lineitem(spark, sfDir).count()
+    val scanned = scannedRows(df)
+    assert(scanned > 0, "box scan must produce rows")
+    assert(scanned * 2 <= total,
+      s"gate scan read $scanned of $total rows — row-group skipping absent")
   }
 }

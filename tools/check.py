@@ -3,7 +3,12 @@
 against the sf parquet tables, compare with the Verify parquet dumps.
 Compare = sort columns by name, sort rows, exact value equality.
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [jsonOut]
+
+With jsonOut, also writes a machine-readable per-query result file
+({query: {"status": pass|fail|skip, "rows": N}, "__summary__": ...}) so
+scaled-stage gate claims (e.g. the 10x replica) are verifiable from a
+committed artifact, not prose.
 """
 import sys, glob, os, json
 import duckdb
@@ -30,7 +35,8 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, json_out=None):
+    results = {}
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -46,11 +52,14 @@ def main(sf_dir, out_dir):
         got = pd.concat([pd.read_parquet(f) for f in files]) if files else pd.DataFrame()
         if name not in oracle:
             print(f"  SKIP {name}: no oracle ({len(got)} rows)")
+            results[name] = {"status": "skip", "rows": len(got)}
             continue
         try:
             exp = con.sql(oracle[name]).df()
         except Exception as e:
             print(f"✗ FAIL {name}: oracle SQL error: {e}")
+            results[name] = {"status": "fail", "rows": len(got),
+                             "reason": f"oracle SQL error: {e}"}
             n_fail += 1
             continue
         g, e = canon(got), canon(exp)
@@ -66,19 +75,26 @@ def main(sf_dir, out_dir):
             print(f"✗ FAIL {name}: int-vs-float dtype drift on {kind_drift} "
                   f"(spark={[str(got[c].dtype) for c in kind_drift]} "
                   f"duckdb={[str(exp[c].dtype) for c in kind_drift]}) — align the CASTs")
+            results[name] = {"status": "fail", "rows": len(got),
+                             "reason": f"dtype drift on {kind_drift}"}
             n_fail += 1
             continue
         if list(g.columns) != list(e.columns):
             print(f"✗ FAIL {name}: columns {list(g.columns)} vs {list(e.columns)}")
+            results[name] = {"status": "fail", "rows": len(got),
+                             "reason": "column mismatch"}
             n_fail += 1
             continue
         if len(g) != len(e):
             print(f"✗ FAIL {name}: rows {len(g)} vs {len(e)}")
+            results[name] = {"status": "fail", "rows": len(got),
+                             "reason": f"rows {len(g)} vs {len(e)}"}
             n_fail += 1
             continue
         try:
             pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True)
             print(f"  PASS {name} ({len(g)} rows)")
+            results[name] = {"status": "pass", "rows": len(g)}
             n_pass += 1
         except AssertionError as ex:
             print(f"✗ FAIL {name}: {str(ex).splitlines()[0]}")
@@ -88,9 +104,21 @@ def main(sf_dir, out_dir):
                 if neq.any():
                     i = neq.idxmax()
                     print(f"    col {c}: row {i}: got={g[c][i]!r} exp={e[c][i]!r} ({int(neq.sum())} diffs)")
+            results[name] = {"status": "fail", "rows": len(got),
+                             "reason": "value mismatch"}
             n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
+    if json_out:
+        results["__summary__"] = {"sf_dir": sf_dir, "out_dir": out_dir,
+                                  "pass": n_pass, "fail": n_fail,
+                                  "skip": sum(1 for v in results.values()
+                                              if isinstance(v, dict) and
+                                              v.get("status") == "skip")}
+        with open(json_out, "w") as f:
+            json.dump(results, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))
