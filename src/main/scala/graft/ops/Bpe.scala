@@ -162,19 +162,11 @@ object Bpe {
       .orderBy("iter")
   }
 
-  /** Free the storage blocks of an eagerly-localCheckpoint'ed frame the
-    * loop no longer references (best-effort: the ContextCleaner would
-    * reclaim them on GC anyway — this just bounds PEAK storage to two
-    * corpus copies instead of k). The checkpointed data lives in the
-    * RDD behind the frame's LogicalRDD leaf; Dataset.unpersist can't
-    * reach it (it only talks to the CacheManager).
+  /** Bounds the loop's PEAK storage to two corpus copies instead of k —
+    * see [[Checkpoints.release]] (the shared idiom).
     */
   private def releaseCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
+    Checkpoints.release(df)
 
   /** Apply a SHIPPED merge table corpus-wide and report per-source
     * compression — the second half of tokenizer training: the merge

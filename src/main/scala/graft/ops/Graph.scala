@@ -46,7 +46,19 @@ object Graph {
     */
   def pagerank(edgesIn: DataFrame, iters: Int,
     reliableCheckpoint: Boolean = false,
-    broadcastRanks: Boolean = true): DataFrame = {
+    broadcastRanks: Boolean = true): DataFrame =
+    pagerankWithPins(edgesIn, iters, reliableCheckpoint, broadcastRanks)._1
+
+  /** [[pagerank]] plus the frames it pinned (edge list + degree table),
+    * so a caller that MATERIALIZES the answer can release their storage
+    * blocks ([[Checkpoints.release]]) instead of leaking an O(edges)
+    * deserialized block set per invocation — which is what back-to-back
+    * full-gate passes at the 100× events stage did until the second
+    * pass OOM'd.
+    */
+  def pagerankWithPins(edgesIn: DataFrame, iters: Int,
+    reliableCheckpoint: Boolean = false,
+    broadcastRanks: Boolean = true): (DataFrame, Seq[DataFrame]) = {
     def pin(df: DataFrame): DataFrame =
       if (reliableCheckpoint) df.checkpoint() else df.localCheckpoint()
     val edges = pin(edgesIn.select(col("src"), col("dst")))
@@ -64,7 +76,7 @@ object Graph {
         .agg((lit(base) + lit(0.85) *
           sum(col("w").cast(DecimalType(38, 18))).cast("double")).as("r"))
     }
-    r.withColumn("n_nodes", lit(n))
+    (r.withColumn("n_nodes", lit(n)), Seq(edges, deg))
   }
 
   /** The part↔supplier bipartite edge list induced by lineitem:
@@ -89,12 +101,23 @@ object Graph {
     * iteration measured WORSE than pinning the final edge list — the
     * concat runs 3×1.18 M times; pin what the loop actually reads.)
     */
-  def qGraphPagerank(spark: SparkSession, dir: String): DataFrame =
-    pagerank(bipartiteEdges(spark, dir), 3)
+  def qGraphPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val (r, pins) = pagerankWithPins(bipartiteEdges(spark, dir), 3)
+    val out = r
       .select(col("node"),
         round(col("r") * col("n_nodes").cast("double"), 6).as("rank_scaled"))
       .orderBy(col("rank_scaled").desc, col("node").asc)
       .limit(20)
+    // Materialize the BOUNDED top-20 answer eagerly (TakeOrderedAndProject
+    // collects exactly 20 rows — same sanctioned-collect class as BPE's
+    // 1-row argmax), then release the pinned edge/degree blocks: the
+    // returned frame must not depend on truncated-lineage storage, and
+    // per-call O(edges) pins must not outlive the call.
+    val rows = out.collect().toSeq
+    pins.foreach(Checkpoints.release)
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, out.schema)
+  }
 
   val oracles: Map[String, String] = Map(
     "q_graph_pagerank" ->

@@ -269,8 +269,10 @@ object StateV2 {
         TimeMode.EventTime(), OutputMode.Update())(
         Encoders.product[FirstTouch])
     withRocksDb(spark) {
+      val name = s"graft_first_touch_ckpt_${runSeq.incrementAndGet()}"
+      Streaming.retirePrevious(spark, name)
       val q = touches.toDF().writeStream.format("memory")
-        .queryName(s"graft_first_touch_ckpt_${runSeq.incrementAndGet()}")
+        .queryName(name)
         .outputMode(OutputMode.Update())
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()

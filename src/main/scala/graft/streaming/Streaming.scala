@@ -207,6 +207,7 @@ object Streaming {
     * want the session default).
     */
   def runToMemoryAsIs(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+    retirePrevious(df.sparkSession, name)
     val q = df.writeStream
       .format("memory")
       .queryName(name)
@@ -216,6 +217,27 @@ object Streaming {
     q.awaitTermination()
     recordPlan(q)
     df.sparkSession.table(name)
+  }
+
+  private val lastMemTable =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Memory-sink tables are DRIVER-resident and live until their temp
+    * view is dropped — and every gate run registers a NEW one (the
+    * runSeq suffix). One full streaming pass at the 100× events stage
+    * leaves ~25 M sink rows behind, so a second same-JVM pass (the
+    * two-pass bench contract) OOM'd on the accumulation. Before each
+    * run, drop the PREVIOUS run's table for the same query family
+    * (name minus the seq suffix): callers always consume a run's
+    * result before re-invoking the same query, so only the latest
+    * table is ever live.
+    */
+  private[graft] def retirePrevious(spark: SparkSession, name: String): Unit = {
+    val family = name.replaceAll("_\\d+$", "")
+    val prev = lastMemTable.put(family, name)
+    if (prev != null && prev != name)
+      try spark.catalog.dropTempView(prev)
+      catch { case _: Exception => () }
   }
 
   /** When non-null (set only by `graft.tools.ExplainDump`), every
@@ -432,6 +454,7 @@ object Streaming {
     stage: String, maxTs: java.sql.Timestamp, df: DataFrame, name: String,
     mode: OutputMode = OutputMode.Append()): DataFrame =
     withStatePartitions(spark, adaptiveStateParts(spark, stage)) {
+      retirePrevious(spark, name)
       val q = df.writeStream.format("memory").queryName(name)
         .outputMode(mode)
         .trigger(Trigger.ProcessingTime(0L))
