@@ -93,26 +93,55 @@ object Graph {
         concat(lit("p:"), col("p")).as("dst")))
   }
 
-  /** 3-iteration PageRank over the part↔supplier graph. Ranks are
-    * reported scaled by N (≈1 for an average node) and rounded to 6
-    * decimals BEFORE the top-20 selection, ties broken by node id —
-    * both engines therefore select the identical list. (Caching the
-    * narrow pair list and re-deriving the doubled strings per
-    * iteration measured WORSE than pinning the final edge list — the
-    * concat runs 3×1.18 M times; pin what the loop actually reads.)
+  /** The gate query's LAZY plan (plan-inspectable — `PlanSpec` and
+    * `ExplainDump` read this; the gate entry materializes it): numeric
+    * node keys END-TO-END. A node is `partkey*2` (parts) or
+    * `suppkey*2+1` (suppliers) — 8-byte join/agg keys through all three
+    * iterations and a far smaller edge pin, decoded to the oracle's
+    * `p:`/`s:` string labels only in the final 20-row projection
+    * (BEFORE the rank-then-node ordering, so the string tie-break
+    * matches the oracle exactly). At the 100× facts stage (59 M
+    * distinct pairs → 118 M doubled edges) the string-keyed form spent
+    * 102–159 s; every byte of "p:<id>" rode the pin, three joins, and
+    * three aggregations. Rank VALUES are untouched: same graph, same
+    * degrees, same DECIMAL(38,18) summation — only the key encoding
+    * changes, so the gate hash is unchanged by construction.
+    * Returns the frame plus the pinned edge/degree frames for
+    * post-materialization release.
     */
-  def qGraphPagerank(spark: SparkSession, dir: String): DataFrame = {
-    val (r, pins) = pagerankWithPins(bipartiteEdges(spark, dir), 3)
+  private[graft] def pagerankTop20(spark: SparkSession, dir: String)
+      : (DataFrame, Seq[DataFrame]) = {
+    val e0 = Tables.lineitem(spark, dir)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+      .distinct()
+    val edges = e0.select((col("p") * 2).as("src"), (col("s") * 2 + 1).as("dst"))
+      .union(e0.select((col("s") * 2 + 1).as("src"), (col("p") * 2).as("dst")))
+    val (r, pins) = pagerankWithPins(edges, 3)
+    val id = expr("CAST(node DIV 2 AS BIGINT)") // truncating div: works for both parities
     val out = r
-      .select(col("node"),
+      .select(
+        when(col("node") % 2 === 0, concat(lit("p:"), id))
+          .otherwise(concat(lit("s:"), id)).as("node"),
         round(col("r") * col("n_nodes").cast("double"), 6).as("rank_scaled"))
       .orderBy(col("rank_scaled").desc, col("node").asc)
       .limit(20)
-    // Materialize the BOUNDED top-20 answer eagerly (TakeOrderedAndProject
-    // collects exactly 20 rows — same sanctioned-collect class as BPE's
-    // 1-row argmax), then release the pinned edge/degree blocks: the
-    // returned frame must not depend on truncated-lineage storage, and
-    // per-call O(edges) pins must not outlive the call.
+    (out, pins)
+  }
+
+  /** 3-iteration PageRank over the part↔supplier graph (see
+    * [[pagerankTop20]] for the plan). Ranks are reported scaled by N
+    * (≈1 for an average node) and rounded to 6 decimals BEFORE the
+    * top-20 selection, ties broken by node label — both engines
+    * therefore select the identical list. The gate entry materializes
+    * the BOUNDED 20-row answer eagerly (TakeOrderedAndProject collects
+    * exactly 20 rows — the same sanctioned-collect class as BPE's 1-row
+    * argmax) and then releases the pinned edge/degree blocks: the
+    * returned frame must not depend on truncated-lineage storage, and
+    * per-call O(edges) pins must not outlive the call (two full-gate
+    * passes at 100× facts OOM'd on exactly that accumulation).
+    */
+  def qGraphPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val (out, pins) = pagerankTop20(spark, dir)
     val rows = out.collect().toSeq
     pins.foreach(Checkpoints.release)
     import scala.jdk.CollectionConverters._

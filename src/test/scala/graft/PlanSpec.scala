@@ -132,7 +132,9 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("pagerank iteration: ranks broadcast, edge list never shuffles") {
-    val p = plan(graft.ops.Graph.qGraphPagerank(spark, sfDir))
+    // the gate entry materializes eagerly (bounded 20-row collect, then
+    // pin release) — inspect the lazy plan it executes
+    val p = plan(graft.ops.Graph.pagerankTop20(spark, sfDir)._1)
     assert(p.contains("BroadcastHashJoin"),
       s"rank frame not broadcast into the edge join:\n${p.take(1500)}")
     assert(!p.contains("SortMergeJoin"),
