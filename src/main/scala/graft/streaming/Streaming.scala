@@ -156,20 +156,26 @@ object Streaming {
   val StatePartitions = 8
 
   /** Scale-adaptive state-partition count for a stateful stream whose
-    * landing zone is `stage`: [[StatePartitions]] below ~64 MiB staged
-    * (per-store maintenance dominates at small key counts — the sf0.1
-    * measurement above), else one partition per ~4 MiB of staged input
-    * capped at `defaultParallelism` (state cardinality tracks the feed
-    * at the gate's key densities). The decision uses only what is
-    * knowable BEFORE the first start — the staged zone's byte size —
-    * because that is when the partitioning is fixed into the checkpoint
-    * forever. Measured at the 100× events stage (10 M events, 8 → 25-32
-    * partitions, warm): dedup 35.6 → 26.6 s, full_join 23.8 → 17.8 s,
-    * first_touch 18.1 → 14.9 s, session_window 48.5 → 45.5 s — a
-    * 25%-class win where per-key state work parallelizes; lanes it did
-    * NOT move were bottlenecked elsewhere (sessions_v2's per-event
-    * appendValue round-trips — fixed separately in
-    * `SessionRecordProcessor`).
+    * landing zone is `stage`: [[StatePartitions]] at or below ~32 MiB
+    * staged — the size at which the 4 MiB/partition rule would dip
+    * under the floor (per-store maintenance dominates at small key
+    * counts — the sf0.1 measurement above) — else one partition per
+    * ~4 MiB of staged input capped at `defaultParallelism` (state
+    * cardinality tracks the feed at the gate's key densities). The
+    * [[StatePartitions]] floor is applied LAST and therefore wins over
+    * the parallelism cap: on a small session (local[4]) the result is
+    * still 8, because the floor exists to amortize per-STORE overhead
+    * (fewer, larger stores lose to maintenance cost regardless of how
+    * many cores execute them), not to match core count. The decision
+    * uses only what is knowable BEFORE the first start — the staged
+    * zone's byte size — because that is when the partitioning is fixed
+    * into the checkpoint forever. Measured at the 100× events stage
+    * (10 M events, 8 → 25-32 partitions, warm): dedup 35.6 → 26.6 s,
+    * full_join 23.8 → 17.8 s, first_touch 18.1 → 14.9 s,
+    * session_window 48.5 → 45.5 s — a 25%-class win where per-key
+    * state work parallelizes; lanes it did NOT move were bottlenecked
+    * elsewhere (sessions_v2's per-event appendValue round-trips —
+    * fixed separately in `SessionRecordProcessor`).
     */
   def adaptiveStateParts(spark: SparkSession, stage: String): Int = {
     val p = new org.apache.hadoop.fs.Path(stage)
@@ -178,8 +184,8 @@ object Streaming {
         .getContentSummary(p).getLength
       catch { case _: Exception => 0L }
     val target = math.ceil(bytes / (4.0 * (1 << 20))).toInt
-    math.min(math.max(StatePartitions, target),
-      spark.sparkContext.defaultParallelism)
+    math.max(StatePartitions,
+      math.min(target, spark.sparkContext.defaultParallelism))
   }
 
   private def withStatePartitions[T](spark: SparkSession,
@@ -196,6 +202,16 @@ object Streaming {
     * [[StatePartitions]]; stateful gate queries pass
     * [[adaptiveStateParts]]); the session's batch setting is restored
     * before the memory table is handed back.
+    *
+    * CONTRACT — the returned frame is valid only until the NEXT run of
+    * the same query family: [[retirePrevious]] drops the previous run's
+    * memory-sink temp view at that point (the cross-pass retirement
+    * that keeps the two-pass bench inside driver memory at the 100×
+    * stage), so a frame held across a re-invocation refers to a dropped
+    * view. Consume (count/collect/compare) before re-invoking; a stale
+    * frame fails at action time with TABLE_OR_VIEW_NOT_FOUND rather
+    * than silently returning old rows — see `StreamingSpec`'s
+    * retirement spec, which pins both halves of this contract.
     */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode,
     parts: Int = StatePartitions): DataFrame =
@@ -253,12 +269,6 @@ object Streaming {
   @volatile private[graft] var planSink:
     java.util.concurrent.ConcurrentHashMap[String, String] = null
 
-  /** Capture `q`'s last micro-batch plan into [[planSink]] via the
-    * public `StreamingQuery.explain` (prints the FORMATTED physical
-    * plan of `lastExecution` to Console.out — redirected here). Safe
-    * after termination: `StreamExecution` retains its last
-    * `IncrementalExecution`.
-    */
   /** Like [[planSink]] but for the engine's own per-batch metrics
     * (`StreamingQueryProgress.json`: durationMs breakdown, state
     * operator update/commit/removal times, rows/s) — the instrument
@@ -275,6 +285,12 @@ object Streaming {
       sink.put(q.name, q.recentProgress.toSeq.map(_.json))
   }
 
+  /** Capture `q`'s last micro-batch plan into [[planSink]] via the
+    * public `StreamingQuery.explain` (prints the FORMATTED physical
+    * plan of `lastExecution` to Console.out — redirected here). Safe
+    * after termination: `StreamExecution` retains its last
+    * `IncrementalExecution`.
+    */
   private[graft] def recordPlan(
     q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     recordProgress(q)
