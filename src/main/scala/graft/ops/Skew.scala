@@ -53,12 +53,30 @@ object Skew {
   /** Salted join of skewed fact keys against a dimension: the dim side is
     * exploded once per salt bucket so every salted fact shard finds its
     * row. Result must equal the plain join (oracle: unsalted SQL).
+    *
+    * The SHUFFLE_HASH hint is load-bearing, not a tuning nicety. Catalyst
+    * estimates the exploded dim from the pruned 2-column file scan and
+    * `Generate`'s pass-through sizeInBytes — the 16× explode multiplier
+    * never reaches the estimate — so without the hint the planner picks
+    * BroadcastHashJoin over the EXPLODED side. At the 100× events stage
+    * that is a 24 M-entry HashedRelation built single-threaded on the
+    * driver: ~15 s of a 20 s call in isolation, and the 62 s pass-1 tail
+    * in the full-gate JVM (diagnosed round 11 via stage timelines — the
+    * executed stages totalled 4.5 s; the gap was all driver-side build).
+    * Broadcasting the exploded dim also inverts the operator's reason to
+    * exist: salting is the broadcast-FREE skew remedy, and a dim
+    * replicated SaltBuckets× grows past any broadcast budget at scale.
+    * SHUFFLE_HASH shuffles both sides on (key, salt) — each of P
+    * partitions builds a 1/P-sized local hash table, no sort, no driver
+    * build. Measured at ev100: 20.5/17.1 s (broadcast) → 7.8/3.8 s
+    * cold/warm. `SkewPlanSpec` pins the join strategy.
     */
   def qSaltedJoin(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
       .withColumn("salt", pmod(hash(col("o_orderkey")), lit(SaltBuckets)))
     val c = Tables.customer(spark, dir)
       .withColumn("salt", explode(sequence(lit(0), lit(SaltBuckets - 1))))
+      .hint("shuffle_hash")
     o.join(c, o("o_custkey") === c("c_custkey") && o("salt") === c("salt"))
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_orders"),
