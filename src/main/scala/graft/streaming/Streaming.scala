@@ -183,9 +183,18 @@ object Streaming {
       try p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .getContentSummary(p).getLength
       catch { case _: Exception => 0L }
+    adaptiveStatePartsFor(bytes, spark.sparkContext.defaultParallelism)
+  }
+
+  /** The pure piecewise formula behind [[adaptiveStateParts]], factored
+    * out so `StreamingLifecycleSpec` can pin all three regimes without
+    * staging multi-GiB directories: ceil(bytes / 4 MiB) capped at
+    * `parallelism`, then the [[StatePartitions]] floor applied last
+    * (floor wins over the cap — see the rationale above).
+    */
+  private[graft] def adaptiveStatePartsFor(bytes: Long, parallelism: Int): Int = {
     val target = math.ceil(bytes / (4.0 * (1 << 20))).toInt
-    math.max(StatePartitions,
-      math.min(target, spark.sparkContext.defaultParallelism))
+    math.max(StatePartitions, math.min(target, parallelism))
   }
 
   private def withStatePartitions[T](spark: SparkSession,
@@ -203,15 +212,18 @@ object Streaming {
     * [[adaptiveStateParts]]); the session's batch setting is restored
     * before the memory table is handed back.
     *
-    * CONTRACT — the returned frame is valid only until the NEXT run of
-    * the same query family: [[retirePrevious]] drops the previous run's
-    * memory-sink temp view at that point (the cross-pass retirement
-    * that keeps the two-pass bench inside driver memory at the 100×
-    * stage), so a frame held across a re-invocation refers to a dropped
-    * view. Consume (count/collect/compare) before re-invoking; a stale
-    * frame fails at action time with TABLE_OR_VIEW_NOT_FOUND rather
-    * than silently returning old rows — see `StreamingSpec`'s
-    * retirement spec, which pins both halves of this contract.
+    * CONTRACT — consume (count/collect/compare) the returned frame
+    * before re-invoking the same query family: [[retirePrevious]] drops
+    * the previous run's memory-sink temp view at the next run (the
+    * cross-pass retirement that keeps the two-pass bench inside driver
+    * memory at the 100× stage). Retirement unregisters the NAME — a
+    * fresh `spark.table(oldName)` fails with TABLE_OR_VIEW_NOT_FOUND —
+    * but it does NOT invalidate a frame already handed out:
+    * `spark.table` resolved the view at creation, so a held frame
+    * silently keeps serving the retired run's rows and pins them
+    * GC-reachable for as long as it lives. That silent-staleness is why
+    * the contract is consume-first, not hold-across-runs.
+    * `StreamingLifecycleSpec` pins both halves empirically.
     */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode,
     parts: Int = StatePartitions): DataFrame =
