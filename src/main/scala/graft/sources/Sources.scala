@@ -259,11 +259,50 @@ object Sources {
   }
 
   private val zOrderStaged =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Publish the z-ordered layout for `out` exactly once, safely under
+    * concurrency (round-11 fix for the staging race flagged in r10):
+    *
+    *  - same JVM: callers route through `computeIfAbsent`, whose per-key
+    *    mapping function runs at most once and BLOCKS other callers on
+    *    the same key until it returns — no thread can read a layout that
+    *    a sibling is still writing (the old `Set.add` guard let the
+    *    loser proceed straight to a half-written dir).
+    *  - across JVMs (sbt test alongside a gate run): the layout is
+    *    written to a UNIQUE temp dir and published with an atomic
+    *    rename; a fixed path is never written in place, so readers only
+    *    ever observe a complete layout. If another JVM publishes first,
+    *    the rename fails, our staging dir is discarded, and the winner's
+    *    layout (same input ⇒ same content) is used. Completeness is
+    *    judged by Spark's own `_SUCCESS` marker.
+    */
+  private def stageZOrderOnce(df: DataFrame, out: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val outPath = Paths.get(out)
+    def complete = Files.exists(outPath.resolve("_SUCCESS"))
+    if (complete) return
+    val tmp = out + ".stage-" + java.util.UUID.randomUUID().toString.take(8)
+    writeZOrdered(df, tmp, "l_partkey", "l_suppkey", 16)
+    // a stale PARTIAL dir (crashed writer under the old in-place code)
+    // blocks the rename: clear it before publishing
+    if (Files.exists(outPath) && !complete)
+      org.apache.commons.io.FileUtils.deleteDirectory(outPath.toFile)
+    try Files.move(Paths.get(tmp), outPath, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileSystemException =>
+        // lost the publication race to another JVM — discard ours
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+        if (!complete)
+          throw new IllegalStateException(
+            s"z-order staging: $out exists but is incomplete")
+    }
+  }
 
   /** Gate query for the Z-ordered layout: write lineitem's
     * (l_partkey, l_suppkey, l_quantity) z-ordered on the two keys (once
-    * per dir per JVM — a layout is write-once / scan-many by
+    * per dir, concurrency-safe via [[stageZOrderOnce]] — a layout is
+    * write-once / scan-many by
     * definition), then answer a ~1%-of-the-key-plane box scan from it,
     * aggregated per supplier. The oracle is the SAME box over the
     * original un-ordered table, so the gate proves the layout is
@@ -281,8 +320,9 @@ object Sources {
       "graft_zorder_" + suffix).getAbsolutePath
     val base = graft.Tables.lineitem(spark, dir)
       .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
-    if (zOrderStaged.add(s"$dir->$out"))
-      writeZOrdered(base, out, "l_partkey", "l_suppkey", 16)
+    zOrderStaged.computeIfAbsent(s"$dir->$out", { _ =>
+      stageZOrderOnce(base, out); out
+    })
     val r = base.agg(max("l_partkey"), max("l_suppkey")).head()
     val (maxP, maxS) = (r.getLong(0), r.getLong(1))
     spark.read.parquet(out)

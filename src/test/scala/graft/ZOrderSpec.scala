@@ -64,6 +64,37 @@ class ZOrderSpec extends SparkTestBase {
       s"z-order scanned $zScan vs plain $plainScan")
   }
 
+  // round-11: the staging path is write-once via per-key computeIfAbsent
+  // (same-JVM callers block) + unique-temp-dir/atomic-rename publication
+  // (cross-JVM). Hammer it from a fresh key: every concurrent caller must
+  // see the COMPLETE layout, and no staging debris may survive.
+  test("concurrent qZOrderScan callers all observe one complete layout") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft-zrace").toString
+    Files.copy(Paths.get(s"$sfDir/lineitem.parquet"),
+      Paths.get(s"$dir/lineitem.parquet"))
+
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val results = Await.result(
+      Future.sequence((1 to 4).map { _ =>
+        Future(Sources.qZOrderScan(spark, dir).collect().toSeq)
+      }), 120.seconds)
+    assert(results.head.nonEmpty)
+    assert(results.forall(_ == results.head),
+      "concurrent callers disagreed — a partial layout was read")
+
+    val suffix = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_zorder_" + suffix)
+    assert(new java.io.File(out, "_SUCCESS").isFile,
+      "published layout must carry Spark's completeness marker")
+    val debris = out.getParentFile.listFiles()
+      .filter(_.getName.startsWith(s"graft_zorder_$suffix.stage-"))
+    assert(debris.isEmpty, s"staging temp dirs leaked: ${debris.mkString(",")}")
+  }
+
   // the oracle-gated query (q_zorder_scan) must actually EXHIBIT the
   // skipping the layout exists for — pin its own leaf scan metric, not
   // just the synthetic A/B layout above
