@@ -71,12 +71,20 @@ object Skew {
     * build. Measured at ev100: 20.5/17.1 s (broadcast) → 7.8/3.8 s
     * cold/warm. `SkewPlanSpec` pins the join strategy.
     */
-  def qSaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+  def qSaltedJoin(spark: SparkSession, dir: String): DataFrame =
+    saltedJoin(spark, dir, "shuffle_hash")
+
+  /** [[qSaltedJoin]]'s body, parameterized on the dim-side join hint so
+    * diagnostics (`JoinDiag`) measure the SAME query the gate runs under
+    * alternative strategies instead of re-implementing it inline (ADVICE
+    * r11) — the gate shape is the `shuffle_hash` instantiation above.
+    */
+  def saltedJoin(spark: SparkSession, dir: String, hint: String): DataFrame = {
     val o = Tables.orders(spark, dir)
       .withColumn("salt", pmod(hash(col("o_orderkey")), lit(SaltBuckets)))
     val c = Tables.customer(spark, dir)
       .withColumn("salt", explode(sequence(lit(0), lit(SaltBuckets - 1))))
-      .hint("shuffle_hash")
+      .hint(hint)
     o.join(c, o("o_custkey") === c("c_custkey") && o("salt") === c("salt"))
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_orders"),

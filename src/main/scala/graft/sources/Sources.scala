@@ -258,45 +258,74 @@ object Sources {
       .orderBy("o_orderpriority")
   }
 
-  private val zOrderStaged =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val zOrderStaged = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.CompletableFuture[Unit]]()
+
+  /** Same-JVM staging memo: the first caller for a key installs a
+    * future via `putIfAbsent` and runs the (multi-minute) layout write
+    * OUTSIDE the map's bin lock; siblings — including callers for
+    * unrelated keys that happen to hash to the same bin, who would have
+    * blocked for the whole write under `computeIfAbsent`'s in-mapping
+    * variant — await the future. A failed staging removes the future so
+    * the next caller retries (matching `computeIfAbsent`'s
+    * exception-not-recorded semantics).
+    */
+  private def stageOnceInJvm(key: String)(stage: => Unit): Unit = {
+    val fut = new java.util.concurrent.CompletableFuture[Unit]()
+    val prior = zOrderStaged.putIfAbsent(key, fut)
+    if (prior == null) {
+      try fut.complete(stage)
+      catch { case e: Throwable =>
+        zOrderStaged.remove(key, fut)
+        fut.completeExceptionally(e)
+        throw e
+      }
+    } else prior.join()
+  }
 
   /** Publish the z-ordered layout for `out` exactly once, safely under
-    * concurrency (round-11 fix for the staging race flagged in r10):
+    * concurrency (round-11 fix for the staging race flagged in r10;
+    * cross-JVM publication serialized in r12 per ADVICE):
     *
-    *  - same JVM: callers route through `computeIfAbsent`, whose per-key
-    *    mapping function runs at most once and BLOCKS other callers on
-    *    the same key until it returns — no thread can read a layout that
-    *    a sibling is still writing (the old `Set.add` guard let the
-    *    loser proceed straight to a half-written dir).
+    *  - same JVM: callers route through [[stageOnceInJvm]] — the write
+    *    runs once and siblings block on its future until published (the
+    *    old `Set.add` guard let the loser proceed straight to a
+    *    half-written dir).
     *  - across JVMs (sbt test alongside a gate run): the layout is
-    *    written to a UNIQUE temp dir and published with an atomic
-    *    rename; a fixed path is never written in place, so readers only
-    *    ever observe a complete layout. If another JVM publishes first,
-    *    the rename fails, our staging dir is discarded, and the winner's
-    *    layout (same input ⇒ same content) is used. Completeness is
-    *    judged by Spark's own `_SUCCESS` marker.
+    *    written to a UNIQUE temp dir, then the publication step
+    *    (stale-partial cleanup + atomic rename) runs under an OS-level
+    *    `FileChannel` lock on a sibling `.lock` file — so the
+    *    check-then-delete can never destroy a layout another JVM
+    *    published in between (the r11 TOCTOU), and readers only ever
+    *    observe a complete layout. If another JVM published while we
+    *    staged, our copy is discarded (same input ⇒ same content).
+    *    Completeness is judged by Spark's own `_SUCCESS` marker.
     */
   private def stageZOrderOnce(df: DataFrame, out: String): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
     val outPath = Paths.get(out)
     def complete = Files.exists(outPath.resolve("_SUCCESS"))
     if (complete) return
     val tmp = out + ".stage-" + java.util.UUID.randomUUID().toString.take(8)
     writeZOrdered(df, tmp, "l_partkey", "l_suppkey", 16)
-    // a stale PARTIAL dir (crashed writer under the old in-place code)
-    // blocks the rename: clear it before publishing
-    if (Files.exists(outPath) && !complete)
-      org.apache.commons.io.FileUtils.deleteDirectory(outPath.toFile)
-    try Files.move(Paths.get(tmp), outPath, StandardCopyOption.ATOMIC_MOVE)
-    catch {
-      case _: java.nio.file.FileSystemException =>
-        // lost the publication race to another JVM — discard ours
-        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
-        if (!complete)
-          throw new IllegalStateException(
-            s"z-order staging: $out exists but is incomplete")
-    }
+    val ch = java.nio.channels.FileChannel.open(Paths.get(out + ".lock"),
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+    try {
+      val lock = ch.lock() // blocks until any concurrent publisher is done
+      try {
+        if (complete) {
+          // another JVM published while we staged — keep the winner's
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+        } else {
+          // a stale PARTIAL dir (crashed writer under the old in-place
+          // code) blocks the rename: clear it before publishing. Under
+          // the lock this can only ever delete an INCOMPLETE dir.
+          if (Files.exists(outPath))
+            org.apache.commons.io.FileUtils.deleteDirectory(outPath.toFile)
+          Files.move(Paths.get(tmp), outPath, StandardCopyOption.ATOMIC_MOVE)
+        }
+      } finally lock.release()
+    } finally ch.close()
   }
 
   /** Gate query for the Z-ordered layout: write lineitem's
@@ -320,9 +349,7 @@ object Sources {
       "graft_zorder_" + suffix).getAbsolutePath
     val base = graft.Tables.lineitem(spark, dir)
       .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
-    zOrderStaged.computeIfAbsent(s"$dir->$out", { _ =>
-      stageZOrderOnce(base, out); out
-    })
+    stageOnceInJvm(s"$dir->$out") { stageZOrderOnce(base, out) }
     val r = base.agg(max("l_partkey"), max("l_suppkey")).head()
     val (maxP, maxS) = (r.getLong(0), r.getLong(1))
     spark.read.parquet(out)

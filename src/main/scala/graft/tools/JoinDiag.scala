@@ -45,24 +45,15 @@ object JoinDiag {
     })
 
     import org.apache.spark.sql.DataFrame
-    import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.DecimalType
+    // Hint variants delegate to the gate query's own parameterized body
+    // (Skew.saltedJoin) so the diagnostic can never drift from what the
+    // gate runs (ADVICE r11).
     def saltedVariant(hint: String): (SparkSession, String) => DataFrame =
-      (s, dir) => {
-        val o = graft.Tables.orders(s, dir)
-          .withColumn("salt", pmod(hash(col("o_orderkey")), lit(graft.ops.Skew.SaltBuckets)))
-        val c = graft.Tables.customer(s, dir)
-          .withColumn("salt", explode(sequence(lit(0), lit(graft.ops.Skew.SaltBuckets - 1))))
-          .hint(hint)
-        o.join(c, o("o_custkey") === c("c_custkey") && o("salt") === c("salt"))
-          .groupBy(col("c_mktsegment"))
-          .agg(count(lit(1)).as("n_orders"),
-            sum(col("o_totalprice").cast(DecimalType(12, 2))).cast("double").as("total"))
-          .orderBy("c_mktsegment")
-      }
+      (s, dir) => graft.ops.Skew.saltedJoin(s, dir, hint)
     val fn = query match {
       case "salted_merge" => saltedVariant("merge")
       case "salted_shuffle_hash" => saltedVariant("shuffle_hash")
+      case "salted_broadcast" => saltedVariant("broadcast")
       case _ => graft.SparkEntry.queries(query)
     }
     (1 to 2).foreach { pass =>

@@ -1,12 +1,26 @@
 package graft.tools
 
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
 /** Reproduce order-dependent bench anomalies: run the gate queries in
   * Bench's alphabetical order up to (exclusive) a target, then time the
   * target twice, reporting session-state drift (conf diffs, persisted
-  * RDDs, temp views) accumulated by the prefix. Optionally restrict the
-  * prefix to a sublist for bisection.
+  * RDDs, temp views) accumulated by the prefix plus per-run spill/GC
+  * attribution for the target. Optionally restrict the prefix to a
+  * sublist for bisection.
+  *
+  * Bench's session differs from a bare prefix in two ways that matter
+  * at the 100x stages: the sf0.001 warm pass and the streaming pre-run
+  * at the timed dir (which leaves every lane's memory-sink table
+  * driver-resident — and in local mode driver heap IS executor heap).
+  * Env flags replicate those pieces independently so the interference
+  * source can be bisected:
+  *   GRAFT_PROBE_WARM=1       run Bench's sf0.001 warm pass first
+  *   GRAFT_PROBE_STREAMPRE=1  run Bench's q_stream_* pre-run at sfDir
+  *   GRAFT_PROBE_PREFIX=0     skip the alphabetical prefix
   *
   * Usage: runMain graft.tools.PrefixProbe <sfDir> <target> [fromIdx] [toIdx]
   */
@@ -25,12 +39,33 @@ object PrefixProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val doWarm = sys.env.get("GRAFT_PROBE_WARM").contains("1")
+    val doStreamPre = sys.env.get("GRAFT_PROBE_STREAMPRE").contains("1")
+    val doPrefix = !sys.env.get("GRAFT_PROBE_PREFIX").contains("0")
+
+    if (doWarm) {
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, "/root/testdata/sf0.001").count()
+        catch { case _: Throwable => }
+      }
+      println(f"[warm] sf0.001 pass: ${(System.nanoTime() - t0) / 1e9}%.1fs")
+    }
+    if (doStreamPre) {
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries.foreach { case (name, fn) =>
+        if (name.startsWith("q_stream_"))
+          try fn(spark, sfDir).count() catch { case _: Throwable => }
+      }
+      println(f"[streampre] q_stream_* at $sfDir: ${(System.nanoTime() - t0) / 1e9}%.1fs")
+    }
+
     val all = graft.SparkEntry.queries.toSeq.sortBy(_._1)
       .takeWhile(_._1 != target)
       .filter(_._1 != "q_dedup_jaccard")
     val from = if (args.length > 2) args(2).toInt else 0
     val to = if (args.length > 3) args(3).toInt else all.size
-    val prefix = all.slice(from, to)
+    val prefix = if (doPrefix) all.slice(from, to) else Nil
     println(s"[prefix] ${prefix.size} queries: ${prefix.headOption.map(_._1)} .. ${prefix.lastOption.map(_._1)}")
 
     val confBefore = spark.conf.getAll
@@ -48,14 +83,87 @@ object PrefixProbe {
       confBefore.view.filterKeys(!confAfter.contains(_)).mapValues(_ + " (REMOVED)")
     println(s"[state] conf drift: ${drift.mkString(", ")}")
     println(s"[state] persistent RDDs: ${spark.sparkContext.getPersistentRDDs.size}")
-    println(s"[state] temp views: ${spark.catalog.listTables().count()}")
-    val sm = java.lang.management.ManagementFactory.getMemoryMXBean.getHeapMemoryUsage
-    println(f"[state] heap used ${sm.getUsed / 1e9}%.1f GB of ${sm.getMax / 1e9}%.1f GB")
+    val views = spark.catalog.listTables().collect()
+    println(s"[state] temp views: ${views.length}")
+    views.filter(_.isTemporary).foreach { t =>
+      try {
+        val n = spark.table(t.name).count()
+        if (n > 100000) println(f"[state]   view ${t.name}%-40s $n%,12d rows")
+      } catch { case _: Throwable => }
+    }
+    def heapLine(tag: String): Unit = {
+      val sm = java.lang.management.ManagementFactory.getMemoryMXBean.getHeapMemoryUsage
+      println(f"[$tag] heap used ${sm.getUsed / 1e9}%.1f GB of ${sm.getMax / 1e9}%.1f GB")
+    }
+    heapLine("state")
+
+    // Per-target-run attribution: task-level spill and GC summed over the
+    // stages each run executes, per-stage wall-clock timeline (offsets
+    // from run start expose driver-side gaps BETWEEN stages), plus
+    // driver-JVM GC wall time across it.
+    val acc = new Object
+    var spill = 0L; var memSpill = 0L; var gcMs = 0L
+    var runStartMs = 0L
+    val timeline = ArrayBuffer.empty[String]
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(ev: SparkListenerStageCompleted): Unit = {
+        val si = ev.stageInfo
+        val m = si.taskMetrics
+        acc.synchronized {
+          spill += m.diskBytesSpilled; memSpill += m.memoryBytesSpilled
+          gcMs += m.jvmGCTime
+          val sub = (si.submissionTime.getOrElse(0L) - runStartMs) / 1e3
+          val fin = (si.completionTime.getOrElse(0L) - runStartMs) / 1e3
+          timeline += f"[stage] ${si.stageId}%4d " +
+            f"${si.name.takeWhile(_ != '\n').take(44)}%-46s " +
+            f"tasks=${si.numTasks}%4d at=${sub}%7.1f..${fin}%7.1fs " +
+            f"spill=${m.diskBytesSpilled / 1e6}%6.0fMB gc=${m.jvmGCTime / 1e3}%5.1fs"
+        }
+      }
+    })
+    import scala.jdk.CollectionConverters._
+    def jvmGcMs: Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+
+    // If a target run stalls past 30s, dump every thread once — the
+    // decisive instrument when stage metrics say the time isn't in tasks.
+    @volatile var dumpArmed = false
+    val watchdog = new Thread(() => {
+      while (true) {
+        Thread.sleep(30000)
+        if (dumpArmed) {
+          dumpArmed = false
+          println("[watchdog] 30s in-run thread dump:")
+          Thread.getAllStackTraces.asScala.foreach { case (t, st) =>
+            if (st.nonEmpty && !t.getName.contains("watchdog")) {
+              val top = st.take(12).map("    " + _).mkString("\n")
+              println(s"[watchdog] ${t.getName} ${t.getState}\n$top")
+            }
+          }
+        }
+      }
+    }, "graft-watchdog")
+    watchdog.setDaemon(true)
+    watchdog.start()
 
     (1 to 2).foreach { i =>
+      acc.synchronized {
+        spill = 0; memSpill = 0; gcMs = 0; timeline.clear()
+        runStartMs = System.currentTimeMillis()
+      }
+      dumpArmed = true
+      val gc0 = jvmGcMs
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(target)(spark, sfDir).count()
-      println(f"[target] $target run $i: ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      val secs = (System.nanoTime() - t0) / 1e9
+      dumpArmed = false
+      Thread.sleep(500) // let listener drain
+      val (s1, s2, s3) = acc.synchronized { (spill, memSpill, gcMs) }
+      println(f"[target] $target run $i: ${secs}%.1fs " +
+        f"diskSpill=${s1 / 1e6}%.0fMB memSpill=${s2 / 1e6}%.0fMB " +
+        f"taskGc=${s3 / 1e3}%.1fs jvmGc=${(jvmGcMs - gc0) / 1e3}%.1fs")
+      acc.synchronized { timeline.foreach(println) }
+      heapLine("target")
     }
     spark.stop()
   }

@@ -50,7 +50,17 @@ object ScaleInvariants {
     spark.sparkContext.setLogLevel("WARN")
 
     // ---- q_event_resample ------------------------------------------------
+    // The closed-form re-derivation below counts n_event_minutes as
+    // count(*) per (user, minute) group, while the gate query counts only
+    // minutes whose per-minute SUM is non-null — identical ONLY when
+    // events.value has no nulls. Assert that up front so a future
+    // data-gen change surfaces as this explicit failure, not a confusing
+    // invariant mismatch (ADVICE r11).
     val t0 = System.nanoTime()
+    val nullValues = graft.Tables.events(spark, sfDir)
+      .filter(col("value").isNull).count()
+    require(nullValues == 0L,
+      s"resample invariant assumes non-null events.value; found $nullValues nulls")
     val got = graft.ops.Relational4.qEventResample(spark, sfDir)
     val e = graft.Tables.events(spark, sfDir)
       .withColumn("minute", expr("unix_timestamp(ts) div 60"))
