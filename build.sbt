@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Experiment knob only (r12 cliff forensics): the code-cache-
+  // saturation hypothesis for the intermittent 100x-stage cliffs was
+  // TESTED and REFUTED — a full bench-parity session with a 100 MB
+  // cache (vs the 240 MB JDK 17 default) showed no slowdown anywhere,
+  // so the default is left alone unless the env is set.
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_GRAFT_CODECACHE", "240m")}",
 )

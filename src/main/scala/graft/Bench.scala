@@ -47,12 +47,20 @@ object Bench {
     val skip = sys.env.get("SPARK_GRAFT_BENCH_SKIP")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
+    // SPARK_GRAFT_BENCH_TRACE=1 — opt-in per-query stage timelines and
+    // in-flight thread dumps for slow queries (flaky-cliff forensics at
+    // the scaled stages); the driver's contract runs take the untraced
+    // path (no env, hooks no-op).
+    graft.tools.BenchTrace.install(spark)
     def runPass(): Seq[(String, Double)] = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => !skip.contains(name) }
       .map { case (name, fn) =>
+        graft.tools.BenchTrace.begin(name)
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val secs = (System.nanoTime() - t0) / 1e9
+        graft.tools.BenchTrace.end(name, secs)
+        name -> secs
       }
     // SPARK_GRAFT_BENCH_REPEAT=N (default 1, the driver's contract):
     // run the timed loop N times in THIS JVM and record every pass in

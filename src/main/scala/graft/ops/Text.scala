@@ -258,6 +258,21 @@ object Text {
     * O(doc·distinct-terms) rows instead of O(tokens) — and because the
     * tf subtree is identical on both join sides, Spark reuses its
     * exchange (one shuffle write, two readers) rather than re-scanning.
+    *
+    * The tf⋈df join strategy is PINNED shuffle_hash (r12): tf is
+    * corpus-scale by design, but its compressed map-output statistic
+    * can dip under the adaptive broadcast threshold on replicated text
+    * (HighlyCompressedMapStatus quantization + the round-robin spread's
+    * random start make the estimate wobble run to run), and when it
+    * does, AQE broadcasts the CORPUS side — a tens-of-millions-row
+    * HashedRelation built single-threaded on the driver, with the df
+    * probe side coalesced to one partition, so the join AND the per-doc
+    * window run in a single task. Measured at the combined 100× stage:
+    * 7.7 s normal vs 29–41 s flipped (intermittent, ~half of runs);
+    * plan captured via `PerfProbe` GRAFT_PERF_PLANS. Same class as the
+    * salted join's r11 fix (`ops/Skew.scala`). shuffle_hash builds the
+    * vocab side per partition — the shape that also holds when real
+    * vocabularies outgrow any broadcast budget. `TextPlanSpec` pins it.
     */
   def tfidfTopOf(docs: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -273,7 +288,8 @@ object Text {
       .agg(count(lit(1)).as("n"))
     val win = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("w").asc)
-    tf.join(df, "w").crossJoin(broadcast(n)) // N is 1 row; df is NOT
+    tf.join(df.hint("shuffle_hash"), "w")
+      .crossJoin(broadcast(n)) // N is 1 row; df is NOT broadcast
       .withColumn("score", round(col("tf") *
         log(col("n").cast("double") / col("df").cast("double")), 6))
       .withColumn("rk", row_number().over(win).cast("long"))

@@ -97,6 +97,17 @@ object Text2 {
         round(log((col("c") + 1).cast("double") /
           (col("n_total") + col("v")).cast("double")), 6)
           .cast("decimal(12,6)").as("lp"))
+    // The toks⋈lp strategy is PINNED shuffle_hash (r12): toks is
+    // token-scale by design, and AQE intermittently flipped to
+    // broadcasting IT (BuildLeft over a driver-built token-scale
+    // HashedRelation, lp coalesced to one partition) when the round-
+    // robin spread's compressed map-output estimate dipped under the
+    // adaptive broadcast threshold — measured 3.3 s normal vs 20–28 s
+    // flipped at the combined 100× stage. Same class and same fix as
+    // tfidf (`Text.tfidfTopOf`) and the salted join (`ops/Skew.scala`);
+    // shuffle_hash builds the vocab side per partition, the shape that
+    // also holds when a real vocabulary outgrows broadcast budgets.
+    //
     // The mean is rounded in INTEGER arithmetic (micro-units, half away
     // from zero), never via round() on a double quotient: an exact
     // decimal sum divided by a token count can land exactly on a
@@ -104,7 +115,7 @@ object Text2 {
     // where Spark's BigDecimal HALF_UP on the true double and DuckDB's
     // multiply-then-round disagree. floor-div of positive integers is
     // engine-exact; the final /1e6 is one IEEE division on both sides.
-    toks.join(lp, "w")
+    toks.join(lp.hint("shuffle_hash"), "w")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
         (sum(col("lp")) * 1000000).cast("long").as("m"))

@@ -1,0 +1,99 @@
+package graft.tools
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+
+/** Env-gated in-bench tracer for intermittent per-query cliffs
+  * (`SPARK_GRAFT_BENCH_TRACE=1`): the combined-100x `q_event_resample`
+  * 125 s outlier reproduced only ~half the time under a bench-parity
+  * probe, so the instrument has to ride INSIDE the run that exhibits
+  * it. When installed, it records every completed stage; when a timed
+  * query exceeds the threshold (`SPARK_GRAFT_BENCH_TRACE_MIN`, default
+  * 30 s), it prints that query's stage timeline (wall-clock offsets
+  * expose gaps the task metrics don't cover), heap, and GC deltas —
+  * and a watchdog thread dumps all thread stacks every 45 s while any
+  * query is in flight past the threshold, catching whatever the
+  * off-task time is spent on. Off by default: the driver's contract
+  * runs (no env) execute the exact untraced path.
+  */
+object BenchTrace {
+  private val acc = new Object
+  private val timeline = ArrayBuffer.empty[String]
+  private var runStartMs = 0L
+  @volatile private var current: String = null
+  @volatile private var currentSince = 0L
+  private var thresholdSec = 30
+
+  import scala.jdk.CollectionConverters._
+  private def jvmGcMs: Long = java.lang.management.ManagementFactory
+    .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+  private var gc0 = 0L
+
+  def enabled: Boolean = sys.env.get("SPARK_GRAFT_BENCH_TRACE").contains("1")
+
+  def install(spark: SparkSession): Unit = {
+    if (!enabled) return
+    thresholdSec = sys.env.get("SPARK_GRAFT_BENCH_TRACE_MIN")
+      .flatMap(_.toIntOption).getOrElse(30)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(ev: SparkListenerStageCompleted): Unit = {
+        val si = ev.stageInfo
+        val m = si.taskMetrics
+        acc.synchronized {
+          val sub = (si.submissionTime.getOrElse(0L) - runStartMs) / 1e3
+          val fin = (si.completionTime.getOrElse(0L) - runStartMs) / 1e3
+          timeline += f"[trace-stage] ${si.stageId}%4d " +
+            f"${si.name.takeWhile(_ != '\n').take(40)}%-42s " +
+            f"tasks=${si.numTasks}%4d at=${sub}%7.1f..${fin}%7.1fs " +
+            f"spill=${m.diskBytesSpilled / 1e6}%6.0fMB " +
+            f"gc=${m.jvmGCTime / 1e3}%5.1fs"
+        }
+      }
+    })
+    val watchdog = new Thread(() => {
+      while (true) {
+        Thread.sleep(45000)
+        val name = current
+        if (name != null &&
+          System.currentTimeMillis() - currentSince > thresholdSec * 1000L) {
+          println(s"[trace-dump] $name in flight " +
+            s"${(System.currentTimeMillis() - currentSince) / 1000}s; threads:")
+          Thread.getAllStackTraces.asScala.toSeq
+            .sortBy(_._1.getName)
+            .foreach { case (t, st) =>
+              // RUNNABLE/BLOCKED frames are the evidence; parked idle
+              // pool threads are noise at 32 cores
+              if (st.nonEmpty && t.getState != Thread.State.WAITING &&
+                t.getState != Thread.State.TIMED_WAITING) {
+                val top = st.take(8).map("    " + _).mkString("\n")
+                println(s"[trace-dump] ${t.getName} ${t.getState}\n$top")
+              }
+            }
+        }
+      }
+    }, "graft-bench-trace")
+    watchdog.setDaemon(true)
+    watchdog.start()
+  }
+
+  def begin(name: String): Unit = if (enabled) {
+    acc.synchronized { timeline.clear(); runStartMs = System.currentTimeMillis() }
+    gc0 = jvmGcMs
+    currentSince = System.currentTimeMillis()
+    current = name
+  }
+
+  def end(name: String, secs: Double): Unit = if (enabled) {
+    current = null
+    if (secs > thresholdSec) {
+      val sm = java.lang.management.ManagementFactory
+        .getMemoryMXBean.getHeapMemoryUsage
+      println(f"[trace] $name took ${secs}%.1fs " +
+        f"(jvmGc=${(jvmGcMs - gc0) / 1e3}%.1fs, " +
+        f"heap=${sm.getUsed / 1e9}%.1f/${sm.getMax / 1e9}%.1fGB) — stage timeline:")
+      acc.synchronized { timeline.foreach(println) }
+    }
+  }
+}

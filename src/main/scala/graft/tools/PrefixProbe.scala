@@ -94,6 +94,16 @@ object PrefixProbe {
     def heapLine(tag: String): Unit = {
       val sm = java.lang.management.ManagementFactory.getMemoryMXBean.getHeapMemoryUsage
       println(f"[$tag] heap used ${sm.getUsed / 1e9}%.1f GB of ${sm.getMax / 1e9}%.1f GB")
+      // code-cache saturation = the JIT stops compiling and hot codegen
+      // runs interpreted — the only known cause of slow-tasks-no-GC
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(p => p.getName.startsWith("CodeHeap") ||
+          p.getName.startsWith("CodeCache")) // non-segmented name
+        .foreach { p =>
+          val u = p.getUsage
+          println(f"[$tag] ${p.getName}%-36s ${u.getUsed / 1e6}%7.1f of ${u.getMax / 1e6}%7.1f MB")
+        }
     }
     heapLine("state")
 
@@ -125,6 +135,25 @@ object PrefixProbe {
     def jvmGcMs: Long = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
 
+    // Post-AQE plans of slow actions (>20s): when a target run cliffs,
+    // the final plan says whether a join strategy or partition count
+    // flipped — the r12 tfidf/unigram diagnosis instrument.
+    val slowPlans = ArrayBuffer.empty[String]
+    spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit = {
+          if (durationNs > 20e9) acc.synchronized {
+            slowPlans += s"--- action $funcName took ${durationNs / 1e9}s ---\n" +
+              qe.executedPlan.toString.take(12000)
+          }
+        }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      })
+
     // If a target run stalls past 30s, dump every thread once — the
     // decisive instrument when stage metrics say the time isn't in tasks.
     @volatile var dumpArmed = false
@@ -146,9 +175,11 @@ object PrefixProbe {
     watchdog.setDaemon(true)
     watchdog.start()
 
-    (1 to 2).foreach { i =>
+    val targetRuns = sys.env.get("GRAFT_PROBE_TARGET_RUNS")
+      .flatMap(_.toIntOption).getOrElse(2)
+    (1 to targetRuns).foreach { i =>
       acc.synchronized {
-        spill = 0; memSpill = 0; gcMs = 0; timeline.clear()
+        spill = 0; memSpill = 0; gcMs = 0; timeline.clear(); slowPlans.clear()
         runStartMs = System.currentTimeMillis()
       }
       dumpArmed = true
@@ -162,7 +193,10 @@ object PrefixProbe {
       println(f"[target] $target run $i: ${secs}%.1fs " +
         f"diskSpill=${s1 / 1e6}%.0fMB memSpill=${s2 / 1e6}%.0fMB " +
         f"taskGc=${s3 / 1e3}%.1fs jvmGc=${(jvmGcMs - gc0) / 1e3}%.1fs")
-      acc.synchronized { timeline.foreach(println) }
+      if (secs > 20) acc.synchronized {
+        timeline.foreach(println)
+        slowPlans.foreach(println)
+      }
       heapLine("target")
     }
     spark.stop()

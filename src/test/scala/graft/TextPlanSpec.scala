@@ -1,0 +1,43 @@
+package graft
+
+/** Pins the join strategy of the two text-lane vocabulary joins whose
+  * corpus-scale side AQE intermittently broadcast at the combined 100×
+  * stage (r12 diagnosis — same class as the salted join's r11 fix):
+  *
+  *  - `Text.tfidfTopOf`'s tf⋈df: tf is O(doc·terms) by design, but its
+  *    compressed map-output estimate wobbles under the adaptive
+  *    broadcast threshold on replicated text (round-robin spread start
+  *    is random, HighlyCompressedMapStatus quantizes), and the flipped
+  *    plan builds a tens-of-millions-row HashedRelation single-threaded
+  *    on the driver with the probe side coalesced to ONE task —
+  *    7.7 s → 29–41 s, roughly every other run.
+  *  - `Text2.unigramLmScores`'s toks⋈lp: same flip, 3.3 s → 20–28 s.
+  *
+  * The shuffle_hash hints pin the broadcast-free shape; this spec fails
+  * if a hint is dropped or the planner stops honoring it.
+  */
+class TextPlanSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // finalize the adaptive plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("tfidf tf-df join plans as ShuffledHashJoin, never a broadcast") {
+    val p = finalPlan(graft.ops.Text.qTfidfTop(spark, dir))
+    assert(p.contains("ShuffledHashJoin"),
+      s"expected the hinted shuffled-hash strategy:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"neither side of tf-df may be broadcast:\n$p")
+  }
+
+  test("unigram-LM toks-lp join plans as ShuffledHashJoin, never a broadcast") {
+    val p = finalPlan(graft.ops.Text2.qUnigramLm(spark, dir))
+    assert(p.contains("ShuffledHashJoin"),
+      s"expected the hinted shuffled-hash strategy:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"neither side of toks-lp may be broadcast:\n$p")
+  }
+}
