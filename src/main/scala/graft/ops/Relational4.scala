@@ -83,17 +83,38 @@ object Relational4 {
     * per-minute frame is small, so AQE would coalesce its exchange to
     * ~1 partition — and the grid-scale explode+agg pipeline downstream
     * of it would funnel through that one task. REPARTITION_BY_NUM is
-    * exempt from AQE coalescing; the window and the final groupBy both
-    * reuse its clustering, so the grid-scale stage runs at full width
-    * with no further exchange.
+    * exempt from AQE coalescing; the per-minute groupBy, the window,
+    * and the final groupBy ALL reuse its clustering (hash(user_id)
+    * satisfies ClusteredDistribution(user_id, minute)), so the whole
+    * query runs off ONE pinned exchange.
+    *
+    * The repartition sits BELOW the per-minute aggregate (r12): the
+    * earlier shape aggregated first and repartitioned after, which
+    * planned a second, ENSURE_REQUIREMENTS exchange on (user, minute) —
+    * the one surface AQE could still coalesce. Its ~9 M-row read sat
+    * near the 64 MB advisory target, and a borderline coalesce would
+    * run the final per-minute agg AND the repartition's shuffle WRITE
+    * in one task — the suspected mechanism behind this query's rare
+    * 120 s first-run outliers at the 100× stages (observed twice across
+    * ~40 controlled runs; signature: one long task-poor stretch, no
+    * spill, no GC — the same estimator-wobble class as the tfidf/
+    * unigram broadcast flips, `ops/Text.scala`). Repartitioning the
+    * raw events first costs one shuffle of 10 M rows instead of two of
+    * ~9 M (the map-side per-minute combine bought only ~10% here) and
+    * leaves NO AQE-resizable exchange anywhere in the plan. On feeds
+    * dense enough that per-minute combining collapses volume (many
+    * events per user-minute), invert back to aggregate-first — and pin
+    * the middle exchange some other way.
     */
   def qEventResample(spark: SparkSession, dir: String): DataFrame = {
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val e = Tables.events(spark, dir)
       .withColumn("minute", expr("unix_timestamp(ts) div 60"))
-    val perMin = e.groupBy(col("user_id"), col("minute"))
-      .agg(sum(col("value").cast(DecimalType(12, 2))).cast("double").as("v"))
+    val perMin = e
+      .select(col("user_id"), col("minute"), col("value"))
       .repartition(parts, col("user_id"))
+      .groupBy(col("user_id"), col("minute"))
+      .agg(sum(col("value").cast(DecimalType(12, 2))).cast("double").as("v"))
     val wu = Window.partitionBy(col("user_id")).orderBy(col("minute").asc)
     val seg = perMin
       .withColumn("ff", last(col("v"), ignoreNulls = true)
