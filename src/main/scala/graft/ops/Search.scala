@@ -79,13 +79,23 @@ object Search {
       .select(col("doc_id"), col("pos"), col("gram"))
   }
 
-  /** Same operator over any (doc_id, text, ...) frame; grams of `L` tokens. */
+  /** Same operator over any (doc_id, text, ...) frame; grams of `L` tokens.
+    *
+    * The semi join's `dup` side is PINNED shuffle_hash (r12 policy,
+    * SCALE.md): `dup` is the distinct-repeated-gram table — flat under
+    * synthetic replication (replicas add no new grams; the planner was
+    * observed broadcasting it at the combined 100× stage), but it grows
+    * with a REAL corpus's size and outgrows any broadcast budget, and a
+    * runtime size estimate must never be what decides. shuffle_hash
+    * builds dup per partition off the same gram-keyed exchange the
+    * membership probe shuffles on.
+    */
   def substrSpansOf(docs: DataFrame, L: Int): DataFrame = {
     val grams = tokenGrams(docs, L)
     val dup = grams.groupBy(col("gram"))
       .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
       .select(col("gram"))
-    val dupPos = grams.join(dup, Seq("gram"), "left_semi")
+    val dupPos = grams.join(dup.hint("shuffle_hash"), Seq("gram"), "left_semi")
       .select(col("doc_id"), col("pos"))
     val wp = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
     dupPos
@@ -139,7 +149,14 @@ object Search {
     val tf = toks.filter(col("w").isin(terms: _*))
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    // df is bounded by |terms| (explicit broadcast); dl and the scored
+    // tf side are both DOC-scale by design — common query terms match a
+    // corpus-sized doc set — so their join is pinned shuffle_hash
+    // building the term-filtered side per partition, not left to a size
+    // estimate that would broadcast a doc-scale relation (r12 policy,
+    // SCALE.md)
     tf.join(broadcast(df), "w")
+      .hint("shuffle_hash")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn("s",
@@ -230,8 +247,12 @@ object Search {
     val grams = tokenGrams(docs, L)
     val evalGrams = grams.filter(col("doc_id") % 10 === 0)
       .select(col("gram")).distinct().withColumn("leak", lit(1))
+    // evalGrams is the eval corpus's distinct-gram table — corpus-scale
+    // by design (a real benchmark suite's grams don't fit a broadcast),
+    // so the join strategy is pinned rather than left to size estimates
+    // (r12 policy, SCALE.md)
     grams.filter(col("doc_id") % 10 =!= 0)
-      .join(evalGrams, Seq("gram"), "left")
+      .join(evalGrams.hint("shuffle_hash"), Seq("gram"), "left")
       .groupBy(col("doc_id"))
       .agg(
         countDistinct(when(col("leak") === 1, col("gram"))).as("n_leaked_grams"),

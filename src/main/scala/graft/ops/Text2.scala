@@ -49,9 +49,16 @@ object Text2 {
     val cab = bg.groupBy("a", "b").agg(count(lit(1)).as("cab"))
     val totU = uni.agg(sum(col("c1")).as("u"))
     val totB = cab.agg(sum(col("cab")).as("nb"))
+    // both sides are TYPE-scale (bigram types x unigram types) and grow
+    // with a real corpus's vocabulary; the unigram side is the smaller,
+    // so it is pinned as the per-partition shuffle_hash build side
+    // rather than trusting a size estimate near the broadcast threshold
+    // (r12 policy, SCALE.md)
     cab.filter(col("cab") >= minCount)
-      .join(uni.select(col("tok").as("a"), col("c1").as("ca")), "a")
-      .join(uni.select(col("tok").as("b"), col("c1").as("cb")), "b")
+      .join(uni.select(col("tok").as("a"), col("c1").as("ca"))
+        .hint("shuffle_hash"), "a")
+      .join(uni.select(col("tok").as("b"), col("c1").as("cb"))
+        .hint("shuffle_hash"), "b")
       .crossJoin(broadcast(totU))
       .crossJoin(broadcast(totB))
       .select(col("a"), col("b"), col("cab"),

@@ -40,4 +40,39 @@ class TextPlanSpec extends SparkTestBase {
     assert(!p.contains("BroadcastHashJoin"),
       s"neither side of toks-lp may be broadcast:\n$p")
   }
+
+  // r12 policy sweep: every further join with a corpus-scale-by-design
+  // side carries a pinned strategy (SCALE.md §combined-stage) — the
+  // distinct-gram semi join (substr), the eval-gram left join
+  // (decontaminate), the doc-scale tf⋈dl join (bm25; its |terms|-bounded
+  // df broadcast is intended and stays), and both unigram-type joins
+  // (PMI; the 1-row totals ride BroadcastNestedLoopJoin cross joins).
+
+  test("exact-substr dup semi join is pinned shuffled-hash") {
+    val p = finalPlan(graft.ops.Search.qDedupSubstr(spark, dir))
+    assert(p.contains("ShuffledHashJoin"), s"expected shuffled-hash:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"the distinct-gram side must not be broadcast:\n$p")
+  }
+
+  test("decontaminate eval-gram join is pinned shuffled-hash") {
+    val p = finalPlan(graft.ops.Search.qDecontaminate(spark, dir))
+    assert(p.contains("ShuffledHashJoin"), s"expected shuffled-hash:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"the eval-gram side must not be broadcast:\n$p")
+  }
+
+  test("bm25 doc-length join is pinned shuffled-hash; df broadcast stays") {
+    val p = finalPlan(graft.ops.Search.qBm25Search(spark, dir))
+    assert(p.contains("ShuffledHashJoin"),
+      s"expected the tf-dl join shuffled-hash:\n$p")
+  }
+
+  test("PMI unigram joins are pinned shuffled-hash, never broadcast-hash") {
+    val p = finalPlan(graft.ops.Text2.qPmiBigrams(spark, dir))
+    assert("ShuffledHashJoin".r.findAllIn(p).size >= 2,
+      s"expected both unigram joins shuffled-hash:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"no type-scale side may be broadcast:\n$p")
+  }
 }
