@@ -270,7 +270,7 @@ object Sources {
     * the next caller retries (matching `computeIfAbsent`'s
     * exception-not-recorded semantics).
     */
-  private def stageOnceInJvm(key: String)(stage: => Unit): Unit = {
+  private[sources] def stageOnceInJvm(key: String)(stage: => Unit): Unit = {
     val fut = new java.util.concurrent.CompletableFuture[Unit]()
     val prior = zOrderStaged.putIfAbsent(key, fut)
     if (prior == null) {
