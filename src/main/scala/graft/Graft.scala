@@ -266,6 +266,14 @@ object Graft {
     def bm25(docs: DataFrame, terms: Seq[String], k: Int = 10): DataFrame =
       ops.Search.bm25Of(docs, terms, k)
 
+    /** Hybrid retrieval: BM25 lane + dense cosine lane (vec 0 of `emb`
+      * is the query vector) fused by reciprocal-rank fusion, each lane
+      * top-`laneK`-bounded before the rank-space fuse.
+      */
+    def hybridSearch(docs: DataFrame, emb: DataFrame, terms: Seq[String],
+        laneK: Int = 20, k: Int = 10): DataFrame =
+      ops.Search.hybridSearchOf(docs, emb, terms, laneK, k)
+
     /** Cross-corpus n-gram decontamination: training docs sharing any
       * `l`-token gram with the held-out split (doc_id % 10 == 0 here),
       * with leaked-gram counts and position coverage.

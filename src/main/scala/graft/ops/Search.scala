@@ -171,6 +171,74 @@ object Search {
       .limit(k)
   }
 
+  // ------------------------------------------------------- hybrid retrieval
+
+  /** Hybrid retrieval: the BM25 lexical lane and the dense
+    * embedding-cosine lane fused by reciprocal-rank fusion
+    * (Cormack/Clarke/Buettcher 2009): rrf(d) = Σ_lanes 1/(60 + rank_d).
+    * RRF works purely in RANK space, so the two lanes never need
+    * commensurable scores — which is also what makes the operator
+    * scale-clean: each lane ends in orderBy+limit
+    * (TakeOrderedAndProject, per-partition heap — never a global sort),
+    * and the fusion itself is a full-outer join of two ≤laneK-row
+    * frames. The expensive work is entirely inside the lanes, both of
+    * which are the repo's proven at-scale shapes; at 100 TB the dense
+    * lane swaps to the IVF/LSH probe unchanged because fusion only sees
+    * ranks.
+    *
+    * doc_id ≡ vec_id is the generator contract (same identification
+    * `Curate.qCorpusCurate` uses for its semantic-dedup drop). vec 0 is
+    * the query vector, so doc 0 is excluded from BOTH lanes — the
+    * lexical corpus stats (N, avgdl) are computed on the 0-free corpus,
+    * mirrored exactly in the oracle. Ranks are row_number over each
+    * lane's ROUNDED score (6 dp) with doc_id tie-break, so rank
+    * assignment cannot diverge on engine-specific last-ulp summation
+    * order; the windows run AFTER the limit, over ≤laneK rows — bounded
+    * by construction, not a row-scale global window. Missing-lane ranks
+    * surface as 0 (real ranks are 1-based) so the output stays
+    * non-null BIGINT in both engines.
+    */
+  def qHybridSearch(spark: SparkSession, dir: String): DataFrame =
+    hybridSearchOf(
+      Tables.documentsSpread(spark, dir).filter(col("doc_id") =!= 0),
+      Tables.embeddingsSpread(spark, dir), bm25Terms, laneK = 20, k = 10)
+
+  /** Same operator over any (doc_id, text) corpus + (vec_id, embedding)
+    * table whose vec 0 is the query vector. */
+  def hybridSearchOf(docs: DataFrame, emb: DataFrame, terms: Seq[String],
+      laneK: Int, k: Int): DataFrame = {
+    val rrfK = 60
+    val lex = bm25Of(docs, terms, laneK)
+      .withColumn("lex_rank", row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id").asc)).cast("bigint"))
+      .select(col("doc_id"), col("lex_rank"))
+    val e = emb.withColumn("nrm", Sim.normExpr(col("embedding")))
+    val q = broadcast(e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"), col("nrm").as("q_nrm")))
+    val sem = e.filter(col("vec_id") =!= 0)
+      .crossJoin(q)
+      .select(col("vec_id"),
+        round(Sim.cosineFromParts(
+          col("embedding"), col("q_emb"), col("nrm"), col("q_nrm")), 6)
+          .as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(laneK)
+      .withColumn("sem_rank", row_number().over(
+        Window.orderBy(col("cos_sim").desc, col("vec_id").asc)).cast("bigint"))
+      .select(col("vec_id").as("doc_id"), col("sem_rank"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        when(col("lex_rank").isNull, lit(0.0))
+          .otherwise(lit(1.0) / (lit(rrfK) + col("lex_rank"))) +
+        when(col("sem_rank").isNull, lit(0.0))
+          .otherwise(lit(1.0) / (lit(rrfK) + col("sem_rank"))), 6))
+      .select(col("doc_id"), col("rrf"),
+        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+        coalesce(col("sem_rank"), lit(0L)).as("sem_rank"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   // -------------------------------------------------- weighted sampling
 
   /** Efraimidis–Spirakis weighted sampling WITHOUT replacement: per
@@ -351,6 +419,52 @@ object Search {
         |       CAST(COUNT(*) AS BIGINT) AS n_terms
         |FROM scored GROUP BY doc_id
         |ORDER BY bm25 DESC, doc_id ASC LIMIT 10""".stripMargin,
+    "q_hybrid_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        |    FROM documents WHERE doc_id <> 0) WHERE w <> ''),
+        |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+        |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |                 CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+        |       WHERE w IN ('spark', 'filter', 'stream') GROUP BY doc_id, w),
+        |df AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    ln(1.0 + (n - df + 0.5) / (df + 0.5)) *
+        |      (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS s
+        |  FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN stats),
+        |bm AS (SELECT doc_id, ROUND(SUM(s), 6) AS bm25
+        |       FROM scored GROUP BY doc_id
+        |       ORDER BY bm25 DESC, doc_id ASC LIMIT 20),
+        |lex AS (SELECT doc_id,
+        |          CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC)
+        |               AS BIGINT) AS lex_rank
+        |        FROM bm),
+        |e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |cos AS (
+        |  SELECT b.vec_id,
+        |    round(list_sum(list_transform(list_zip(b.embedding, q.embedding),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |      / (b.nrm * q.nrm), 6) AS cos_sim
+        |  FROM e b, e q WHERE q.vec_id = 0 AND b.vec_id <> 0
+        |  ORDER BY cos_sim DESC, b.vec_id ASC LIMIT 20),
+        |sem AS (SELECT vec_id AS doc_id,
+        |          CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC)
+        |               AS BIGINT) AS sem_rank
+        |        FROM cos)
+        |SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+        |  ROUND(COALESCE(CAST(1 AS DOUBLE) / (60 + lex_rank), 0) +
+        |        COALESCE(CAST(1 AS DOUBLE) / (60 + sem_rank), 0), 6) AS rrf,
+        |  COALESCE(lex_rank, 0) AS lex_rank,
+        |  COALESCE(sem_rank, 0) AS sem_rank
+        |FROM lex FULL JOIN sem ON lex.doc_id = sem.doc_id
+        |ORDER BY rrf DESC, doc_id ASC LIMIT 10""".stripMargin,
     "q_decontaminate" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
         |p AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS pos

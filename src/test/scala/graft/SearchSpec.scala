@@ -172,4 +172,39 @@ class SearchSpec extends SparkTestBase {
     }.sortBy(r => (r._1, r._2))
     assert(got.toList == want)
   }
+
+  test("hybrid RRF fuses lex-only, sem-only and both-lane docs exactly") {
+    import spark.implicits._
+    // lex lane (terms = "t", equal doc length so bm25 is monotone in tf):
+    //   doc1 tf=4 -> rank 1, doc2 tf=2 -> rank 2, doc3 tf=1 -> rank 3.
+    // sem lane (query vec 0 = e_x): vec3 cos 1.0 -> rank 1,
+    //   vec4 cos 0.8 -> rank 2, vec2 cos 0.6 -> rank 3; vec1 absent.
+    // So doc1 is lex-only, doc4 sem-only, docs 2 and 3 are in both.
+    val docs = Seq(
+      1L -> "t t t t", 2L -> "t t a b", 3L -> "t a b c").toDF("doc_id", "text")
+    val emb = Seq(
+      0L -> Array(1f, 0f, 0f), 2L -> Array(0.6f, 0.8f, 0f),
+      3L -> Array(1f, 0f, 0f), 4L -> Array(0.8f, 0.6f, 0f))
+      .toDF("vec_id", "embedding")
+    val got = Search.hybridSearchOf(docs, emb, Seq("t"), laneK = 20, k = 10)
+      .collect().map(r =>
+        (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3))).toList
+    // rrf = 1/(60+rank) per lane present, rounded to 6; absent rank -> 0
+    val want = List(
+      (3L, 0.032266, 3L, 1L), // 1/63 + 1/61
+      (2L, 0.032002, 2L, 3L), // 1/62 + 1/63
+      (1L, 0.016393, 1L, 0L), // 1/61
+      (4L, 0.016129, 0L, 2L)) // 1/62
+    assert(got == want)
+  }
+
+  test("hybrid lanes are top-k bounded before fusion, never a global sort") {
+    val df = graft.ops.Search.qHybridSearch(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // each lane must cut to laneK via TakeOrderedAndProject (per-partition
+    // heap) BEFORE the rank window / fuse join touches anything
+    assert("TakeOrderedAndProject".r.findAllIn(plan).size >= 2,
+      s"both lanes must be TakeOrderedAndProject-bounded:\n$plan")
+  }
 }
