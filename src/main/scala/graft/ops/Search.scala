@@ -200,14 +200,20 @@ object Search {
     */
   def qHybridSearch(spark: SparkSession, dir: String): DataFrame =
     hybridSearchOf(
-      Tables.documentsSpread(spark, dir).filter(col("doc_id") =!= 0),
+      Tables.documentsSpread(spark, dir),
       Tables.embeddingsSpread(spark, dir), bm25Terms, laneK = 20, k = 10)
 
   /** Same operator over any (doc_id, text) corpus + (vec_id, embedding)
-    * table whose vec 0 is the query vector. */
-  def hybridSearchOf(docs: DataFrame, emb: DataFrame, terms: Seq[String],
+    * table whose vec 0 is the query vector. The doc_id ≡ vec_id query
+    * row is excluded from BOTH lanes HERE (r13 ADVICE fix: the dense
+    * lane always dropped vec 0, but the lexical lane used to rely on
+    * the caller pre-filtering doc 0 — a raw corpus would have ranked
+    * the query document lexically but never semantically, skewing the
+    * fusion and the BM25 corpus stats N/avgdl). */
+  def hybridSearchOf(rawDocs: DataFrame, emb: DataFrame, terms: Seq[String],
       laneK: Int, k: Int): DataFrame = {
     val rrfK = 60
+    val docs = rawDocs.filter(col("doc_id") =!= 0)
     val lex = bm25Of(docs, terms, laneK)
       .withColumn("lex_rank", row_number().over(
         Window.orderBy(col("bm25").desc, col("doc_id").asc)).cast("bigint"))

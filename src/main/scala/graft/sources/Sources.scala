@@ -266,21 +266,33 @@ object Sources {
     * OUTSIDE the map's bin lock; siblings — including callers for
     * unrelated keys that happen to hash to the same bin, who would have
     * blocked for the whole write under `computeIfAbsent`'s in-mapping
-    * variant — await the future. A failed staging removes the future so
-    * the next caller retries (matching `computeIfAbsent`'s
-    * exception-not-recorded semantics).
+    * variant — await the future. Failure is never memoized (matching
+    * `computeIfAbsent`'s exception-not-recorded semantics): the owner
+    * removes the entry before completing exceptionally and rethrows its
+    * own exception, while WAITERS that observe the failure loop back
+    * through `putIfAbsent` and retry — exactly as a `computeIfAbsent`
+    * waiter would have re-entered the mapping function (r13 ADVICE fix;
+    * previously waiters fail-fasted with a wrapped CompletionException).
     */
   private[sources] def stageOnceInJvm(key: String)(stage: => Unit): Unit = {
-    val fut = new java.util.concurrent.CompletableFuture[Unit]()
-    val prior = zOrderStaged.putIfAbsent(key, fut)
-    if (prior == null) {
-      try fut.complete(stage)
-      catch { case e: Throwable =>
-        zOrderStaged.remove(key, fut)
-        fut.completeExceptionally(e)
-        throw e
-      }
-    } else prior.join()
+    while (true) {
+      val fut = new java.util.concurrent.CompletableFuture[Unit]()
+      val prior = zOrderStaged.putIfAbsent(key, fut)
+      if (prior == null) {
+        try { stage; fut.complete(()) }
+        catch { case e: Throwable =>
+          zOrderStaged.remove(key, fut)
+          fut.completeExceptionally(e)
+          throw e
+        }
+        return
+      } else
+        try { prior.join(); return }
+        catch { case _: java.util.concurrent.CompletionException =>
+          // the staging we awaited failed; its owner already removed
+          // the memo entry, so retry — we may become the new owner
+        }
+    }
   }
 
   /** Publish the z-ordered layout for `out` exactly once, safely under

@@ -42,13 +42,19 @@ object BenchTrace {
         val si = ev.stageInfo
         val m = si.taskMetrics
         acc.synchronized {
-          val sub = (si.submissionTime.getOrElse(0L) - runStartMs) / 1e3
-          val fin = (si.completionTime.getOrElse(0L) - runStartMs) / 1e3
-          timeline += f"[trace-stage] ${si.stageId}%4d " +
-            f"${si.name.takeWhile(_ != '\n').take(40)}%-42s " +
-            f"tasks=${si.numTasks}%4d at=${sub}%7.1f..${fin}%7.1fs " +
-            f"spill=${m.diskBytesSpilled / 1e6}%6.0fMB " +
-            f"gc=${m.jvmGCTime / 1e3}%5.1fs"
+          // a stage submitted before this query's begin() belongs to the
+          // PREVIOUS query — its completion event arrived after begin()
+          // cleared the buffer (the bus is async); drop it rather than
+          // mislabel the forensic output (r13 ADVICE fix)
+          if (!si.submissionTime.exists(_ < runStartMs)) {
+            val sub = (si.submissionTime.getOrElse(0L) - runStartMs) / 1e3
+            val fin = (si.completionTime.getOrElse(0L) - runStartMs) / 1e3
+            timeline += f"[trace-stage] ${si.stageId}%4d " +
+              f"${si.name.takeWhile(_ != '\n').take(40)}%-42s " +
+              f"tasks=${si.numTasks}%4d at=${sub}%7.1f..${fin}%7.1fs " +
+              f"spill=${m.diskBytesSpilled / 1e6}%6.0fMB " +
+              f"gc=${m.jvmGCTime / 1e3}%5.1fs"
+          }
         }
       }
     })
@@ -88,6 +94,12 @@ object BenchTrace {
   def end(name: String, secs: Double): Unit = if (enabled) {
     current = null
     if (secs > thresholdSec) {
+      // the listener bus delivers stage events asynchronously: without a
+      // drain, the tail stages of exactly the slow query being captured
+      // can be missing, and their late events would land in the NEXT
+      // query's buffer after begin() clears it (mislabeled forensics) —
+      // mirror PerfProbe's post-run settle (r13 ADVICE fix)
+      Thread.sleep(1000)
       val sm = java.lang.management.ManagementFactory
         .getMemoryMXBean.getHeapMemoryUsage
       println(f"[trace] $name took ${secs}%.1fs " +

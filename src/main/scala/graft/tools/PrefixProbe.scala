@@ -44,12 +44,20 @@ object PrefixProbe {
     val doPrefix = !sys.env.get("GRAFT_PROBE_PREFIX").contains("0")
 
     if (doWarm) {
+      // warm dir is configurable (r13 ADVICE fix: the hardcoded sf0.001
+      // path made the whole pass silently no-op — every query swallowed
+      // by the catch — on machines without /root/testdata)
+      val warmDir = sys.env.getOrElse("GRAFT_PROBE_WARM_DIR",
+        "/root/testdata/sf0.001")
+      if (!new java.io.File(warmDir).isDirectory)
+        println(s"[warm] WARNING: warm dir $warmDir does not exist — " +
+          "every warm query will fail; set GRAFT_PROBE_WARM_DIR")
       val t0 = System.nanoTime()
       graft.SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, "/root/testdata/sf0.001").count()
+        try fn(spark, warmDir).count()
         catch { case _: Throwable => }
       }
-      println(f"[warm] sf0.001 pass: ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      println(f"[warm] $warmDir pass: ${(System.nanoTime() - t0) / 1e9}%.1fs")
     }
     if (doStreamPre) {
       val t0 = System.nanoTime()

@@ -54,4 +54,44 @@ class StageOnceSpec extends AnyFunSuite {
     }
     assert(attempts.get() === 2, "completed staging must be memoized")
   }
+
+  // r13 ADVICE fix: waiters CONCURRENT with a failing staging must also
+  // retry (loop back through putIfAbsent), not fail-fast with a wrapped
+  // CompletionException — the semantics computeIfAbsent waiters had.
+  test("waiters concurrent with a failed staging retry until one succeeds") {
+    val attempts = new AtomicInteger(0)
+    val succeeded = new AtomicInteger(0)
+    val firstEntered = new java.util.concurrent.CountDownLatch(1)
+    val waitersQueued = new java.util.concurrent.CountDownLatch(1)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val owner = Future {
+      intercept[RuntimeException] {
+        Sources.stageOnceInJvm("stage-once-spec-k3") {
+          attempts.incrementAndGet()
+          firstEntered.countDown()
+          // hold the failure until the waiters are parked on our future
+          waitersQueued.await(10, java.util.concurrent.TimeUnit.SECONDS)
+          throw new RuntimeException("owner failed")
+        }
+      }
+    }
+    firstEntered.await(10, java.util.concurrent.TimeUnit.SECONDS)
+    val waiters = (1 to 4).map { _ =>
+      Future {
+        Sources.stageOnceInJvm("stage-once-spec-k3") {
+          attempts.incrementAndGet()
+        }
+        succeeded.incrementAndGet()
+      }
+    }
+    Thread.sleep(300) // let the waiters reach prior.join()
+    waitersQueued.countDown()
+    Await.result(Future.sequence(waiters :+ owner.map(_ => ())), 30.seconds)
+    assert(succeeded.get() === 4,
+      "every waiter must eventually return from a successful staging")
+    assert(attempts.get() === 2,
+      "exactly one retry owner re-runs the body after the failure")
+  }
 }
