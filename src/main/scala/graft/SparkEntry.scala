@@ -164,6 +164,7 @@ object SparkEntry {
     "q_sim_topk_native" -> (Sim.qSimTopKNative _),
     "q_sim_lsh" -> (Sim.qSimLsh _),
     "q_sim_ivf" -> (Sim.qSimIvf _),
+    "q_sim_ivf_pruned" -> (Sim.qSimIvfPruned _),
     "q_sim_ivf_kmeans" -> (Sim.qSimIvfKmeans _),
     "q_sim_label_coherence" -> (Sim.qSimLabelCoherence _),
     "q_sim_batch_topk" -> (graft.ops.Sim2.qSimBatchTopK _),

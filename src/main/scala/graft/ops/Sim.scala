@@ -145,9 +145,15 @@ object Sim {
     * lists are the partition key (write partitioned by `assigned`), so a
     * probe prunes whole files; the codebook (k rows) broadcasts.
     */
-  def qSimIvf(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.ensureRegistered(spark)
-    val e = Tables.embeddingsSpread(spark, dir)
+  /** The 1-row deterministic codebook of [[qSimIvf]]: per-label mean
+    * vectors (DECIMAL(30,15) sums — order-independent, bit-identical on
+    * both engines), array_sort'ed into ARRAY<STRUCT<c_label, centroid>>
+    * ready for [[graft.functions.IvfNearest]]. Shared by the inline
+    * probe ([[qSimIvf]]) and the at-rest list-partitioned probe
+    * ([[qSimIvfPruned]]) so the two gate queries are the same quantizer
+    * by construction.
+    */
+  private[ops] def labelMeanCodebook(e: DataFrame): DataFrame = {
     val centroids = e
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .groupBy(col("label"), col("pos"))
@@ -158,6 +164,14 @@ object Sim {
       .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
         .as("centroid"))
       .select(col("label").cast("long").as("c_label"), col("centroid"))
+    centroids
+      .agg(expr("array_sort(collect_list(struct(c_label, centroid)))")
+        .as("cb"))
+  }
+
+  def qSimIvf(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val e = Tables.embeddingsSpread(spark, dir)
     // Assignment is a NARROW per-row argmin over the broadcast codebook
     // array via the native [[graft.functions.IvfNearest]] expression —
     // the same distance fold ((CAST(x AS DOUBLE) − c)², left-to-right)
@@ -169,9 +183,7 @@ object Sim {
     // interpreted-HOF argmin re-shape still paid ~129 s in lambda
     // frames; the native expression does the identical n·k arithmetic
     // inside the corpus scan with zero extra rows and zero shuffles.
-    val cb = broadcast(centroids
-      .agg(expr("array_sort(collect_list(struct(c_label, centroid)))")
-        .as("cb")))
+    val cb = broadcast(labelMeanCodebook(e))
     // the query row probes its nprobe=3 nearest lists
     val probes = e.filter(col("vec_id") === 0).crossJoin(cb)
       .select(explode(expr("ivf_nearest(embedding, cb, 3)")).as("assigned"))
@@ -184,6 +196,58 @@ object Sim {
       .drop("cb")
       .join(broadcast(probes), "assigned")
       .filter(col("vec_id") =!= 0)
+      .crossJoin(qdf)
+      .select(col("vec_id"),
+        round(expr("cosine_sim(embedding, q_emb)"), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  /** The SAME IVF probe as [[qSimIvf]], answered from the AT-REST
+    * list-partitioned layout that query's scaladoc promises ("write
+    * partitioned by `assigned`, so a probe prunes whole files") — the
+    * lever a 100 TB ANN deployment actually pulls, now a gate query
+    * instead of prose (r12 verdict Missing #3):
+    *
+    *  - staging (write-once/probe-many, [[Sources.stagePublishedLayout]]
+    *    mechanics shared with the z-order layout): every embedding row
+    *    is assigned to its nearest [[labelMeanCodebook]] centroid inline
+    *    in the scan and written `partitionBy("assigned")` — one
+    *    directory per inverted list;
+    *  - probing: the query vector's `nprobe`=3 nearest lists are
+    *    collected as LITERALS (bounded by the codebook size k, the same
+    *    sanctioned class as the single-row min/max reads) so the
+    *    `assigned IN (...)` predicate is a STATIC partition filter —
+    *    Spark's metadata-time pruning drops every other list's files
+    *    before any task launches (`IvfPruneSpec` pins numFiles read <
+    *    lists on disk, and that the probed layout answers exactly
+    *    [[qSimIvf]]'s rows — hence the shared oracle).
+    *
+    * At 100 TB this is the difference between scanning ~nprobe/k of the
+    * corpus and scanning all of it; the inline variant ([[qSimIvf]])
+    * still pays the full-corpus scan to compute assignments per query.
+    */
+  def qSimIvfPruned(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_ivf_lists_" + dir.replaceAll("[^a-zA-Z0-9]", "_")).getAbsolutePath
+    val e = Tables.embeddingsSpread(spark, dir)
+    val cb = broadcast(labelMeanCodebook(e))
+    graft.sources.Sources.stagePublishedLayout(s"$dir->$out", out) { tmp =>
+      graft.sources.Sources.writePartitioned(
+        e.crossJoin(cb)
+          .withColumn("assigned",
+            expr("element_at(ivf_nearest(embedding, cb, 1), 1)"))
+          .drop("cb"),
+        tmp, "assigned")
+    }
+    val probes = e.filter(col("vec_id") === 0).crossJoin(cb)
+      .select(explode(expr("ivf_nearest(embedding, cb, 3)")).as("assigned"))
+      .collect().map(_.getLong(0)).toSeq
+    val qdf = broadcast(e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb")))
+    spark.read.parquet(out)
+      .filter(col("assigned").isin(probes: _*) && col("vec_id") =!= 0)
       .crossJoin(qdf)
       .select(col("vec_id"),
         round(expr("cosine_sim(embedding, q_emb)"), 6).as("cos_sim"))
@@ -271,11 +335,12 @@ object Sim {
           .as("recall_ok"))
   }
 
-  val oracles: Map[String, String] = Map(
-    "q_sim_ivf_kmeans" ->
-      "SELECT CAST(10 AS BIGINT) AS n_returned, TRUE AS recall_ok",
-    "q_sim_ivf" ->
-      """WITH cm AS (
+  /** One oracle for both IVF probe paths: [[qSimIvfPruned]] reads the
+    * same vectors through the list-partitioned layout and must return
+    * bit-identical rows, so it shares [[qSimIvf]]'s SQL verbatim.
+    */
+  private val ivfProbeOracle: String =
+    """WITH cm AS (
         |  SELECT label, pos,
         |    CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE)
         |      / COUNT(*) AS m
@@ -314,7 +379,13 @@ object Sim {
         |JOIN probes p ON p.assigned = a.assigned
         |CROSS JOIN qv
         |WHERE b.vec_id <> 0
-        |ORDER BY cos_sim DESC, b.vec_id ASC LIMIT 10""".stripMargin,
+        |ORDER BY cos_sim DESC, b.vec_id ASC LIMIT 10""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_sim_ivf_kmeans" ->
+      "SELECT CAST(10 AS BIGINT) AS n_returned, TRUE AS recall_ok",
+    "q_sim_ivf" -> ivfProbeOracle,
+    "q_sim_ivf_pruned" -> ivfProbeOracle,
     "q_sim_topk" ->
       """WITH e AS (
         |  SELECT vec_id, embedding,

@@ -295,31 +295,38 @@ object Sources {
     }
   }
 
-  /** Publish the z-ordered layout for `out` exactly once, safely under
-    * concurrency (round-11 fix for the staging race flagged in r10;
-    * cross-JVM publication serialized in r12 per ADVICE):
+  /** Publish a derived at-rest layout at `out` exactly once, safely
+    * under concurrency (round-11 fix for the z-order staging race
+    * flagged in r10; cross-JVM publication serialized in r12 per
+    * ADVICE; generalized from the z-order path in r13 so every staged
+    * layout — z-order, IVF list-partitioned — shares one audited
+    * mechanism):
     *
     *  - same JVM: callers route through [[stageOnceInJvm]] — the write
     *    runs once and siblings block on its future until published (the
     *    old `Set.add` guard let the loser proceed straight to a
     *    half-written dir).
-    *  - across JVMs (sbt test alongside a gate run): the layout is
-    *    written to a UNIQUE temp dir, then the publication step
-    *    (stale-partial cleanup + atomic rename) runs under an OS-level
-    *    `FileChannel` lock on a sibling `.lock` file — so the
-    *    check-then-delete can never destroy a layout another JVM
-    *    published in between (the r11 TOCTOU), and readers only ever
-    *    observe a complete layout. If another JVM published while we
-    *    staged, our copy is discarded (same input ⇒ same content).
-    *    Completeness is judged by Spark's own `_SUCCESS` marker.
+    *  - across JVMs (sbt test alongside a gate run): `write` targets a
+    *    UNIQUE temp dir, then the publication step (stale-partial
+    *    cleanup + atomic rename) runs under an OS-level `FileChannel`
+    *    lock on a sibling `.lock` file — so the check-then-delete can
+    *    never destroy a layout another JVM published in between (the
+    *    r11 TOCTOU), and readers only ever observe a complete layout.
+    *    If another JVM published while we staged, our copy is discarded
+    *    (same input ⇒ same content). Completeness is judged by Spark's
+    *    own `_SUCCESS` marker.
     */
-  private def stageZOrderOnce(df: DataFrame, out: String): Unit = {
+  def stagePublishedLayout(key: String, out: String)(
+      write: String => Unit): Unit =
+    stageOnceInJvm(key) { publishLayoutOnce(out)(write) }
+
+  private def publishLayoutOnce(out: String)(write: String => Unit): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
     val outPath = Paths.get(out)
     def complete = Files.exists(outPath.resolve("_SUCCESS"))
     if (complete) return
     val tmp = out + ".stage-" + java.util.UUID.randomUUID().toString.take(8)
-    writeZOrdered(df, tmp, "l_partkey", "l_suppkey", 16)
+    write(tmp)
     val ch = java.nio.channels.FileChannel.open(Paths.get(out + ".lock"),
       StandardOpenOption.CREATE, StandardOpenOption.WRITE)
     try {
@@ -342,8 +349,8 @@ object Sources {
 
   /** Gate query for the Z-ordered layout: write lineitem's
     * (l_partkey, l_suppkey, l_quantity) z-ordered on the two keys (once
-    * per dir, concurrency-safe via [[stageZOrderOnce]] — a layout is
-    * write-once / scan-many by
+    * per dir, concurrency-safe via [[stagePublishedLayout]] — a layout
+    * is write-once / scan-many by
     * definition), then answer a ~1%-of-the-key-plane box scan from it,
     * aggregated per supplier. The oracle is the SAME box over the
     * original un-ordered table, so the gate proves the layout is
@@ -361,7 +368,9 @@ object Sources {
       "graft_zorder_" + suffix).getAbsolutePath
     val base = graft.Tables.lineitem(spark, dir)
       .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
-    stageOnceInJvm(s"$dir->$out") { stageZOrderOnce(base, out) }
+    stagePublishedLayout(s"$dir->$out", out) { tmp =>
+      writeZOrdered(base, tmp, "l_partkey", "l_suppkey", 16)
+    }
     val r = base.agg(max("l_partkey"), max("l_suppkey")).head()
     val (maxP, maxS) = (r.getLong(0), r.getLong(1))
     spark.read.parquet(out)
