@@ -41,10 +41,15 @@ object Curate {
     // the other 60% for a reason unrelated to quality or duplication).
     val semDropped = Embed.semanticDedup(emb, Embed.SemanticTau)
       .filter(!col("kept")).select(col("vec_id").as("doc_id"))
+    // every verdict list is doc-scale by design (a kept/dropped id per
+    // document) while the left side carries the corpus text — exactly
+    // the join class AQE intermittently broadcast at 100× (r12): pin
+    // shuffle_hash building the narrow id lists per partition, keeping
+    // the whole chain one co-partitioned doc_id pipeline
     val survivors = docs
-      .join(keepQ, Seq("doc_id"), "left_semi")
-      .join(keepExact, Seq("doc_id"), "left_semi")
-      .join(semDropped, Seq("doc_id"), "left_anti")
+      .join(keepQ.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
+      .join(keepExact.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
+      .join(semDropped.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
     Pipeline.withSplit(survivors)
       .groupBy("split")
       .agg(count(lit(1)).as("n_docs"),

@@ -289,9 +289,16 @@ object Dedup {
           |    i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1),
           |                   element_at(w, i + 2)))))
           |ELSE array() END""".stripMargin).as("shl"))
+    // both fetch joins pair a corpus-scale side with the corpus-scale
+    // shingle-set frame (wide, replication-compressible — the r12 AQE
+    // wobble surface): pin shuffle_hash building the NARROW pair-id side
+    // first, then merge for the second fetch where both sides are wide
+    // (SMJ spills; a hash map of shingle arrays would not)
     cand.select(col("doc_a"), col("doc_b"))
+      .hint("shuffle_hash")
       .join(sets.select(col("doc_id").as("doc_a"), col("shl").as("sha")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("shl").as("shb")), "doc_b")
+      .join(sets.select(col("doc_id").as("doc_b"), col("shl").as("shb"))
+        .hint("merge"), "doc_b")
       .withColumn("shared", size(array_intersect(col("sha"), col("shb"))).cast("long"))
       .withColumn("jaccard", col("shared").cast("double") /
         (size(col("sha")) + size(col("shb")) - col("shared")))
@@ -494,7 +501,10 @@ object Dedup {
     */
   def keepBestOf(clusters: DataFrame, quality: DataFrame): DataFrame = {
     clusters
-      .join(quality.select(col("doc_id"), col("quality_score")), "doc_id")
+      // both sides doc-scale (a verdict/score per document): pinned per
+      // the r12 policy, building the narrow score side per partition
+      .join(quality.select(col("doc_id"), col("quality_score"))
+        .hint("shuffle_hash"), "doc_id")
       .groupBy(col("canonical_id"))
       .agg(
         count(lit(1)).as("n_members"),
@@ -564,9 +574,16 @@ object Dedup {
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
       .distinct()
     val e = emb.select(col("vec_id"), col("embedding"))
+    // vector fetches: narrow pair ids ⋈ corpus-scale wide vectors — the
+    // same pinned shapes as candidateJaccard's shingle fetches (r12
+    // policy; the candidate join above stays deliberately unpinned — its
+    // high-entropy (t, bucket) keys and narrow id rows don't exhibit the
+    // compressed-map-stat wobble, reasoned in SCALE.md)
     cand
+      .hint("shuffle_hash")
       .join(e.select(col("vec_id").as("va"), col("embedding").as("ea")), "va")
-      .join(e.select(col("vec_id").as("vb"), col("embedding").as("eb")), "vb")
+      .join(e.select(col("vec_id").as("vb"), col("embedding").as("eb"))
+        .hint("merge"), "vb")
       .withColumn("cos", expr("cosine_sim(ea, eb)"))
       .filter(col("cos") > minCos)
       .select(col("va"), col("vb"), round(col("cos"), 6).as("cos_sim"))

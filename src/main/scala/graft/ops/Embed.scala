@@ -97,12 +97,22 @@ object Embed {
       col("embedding").as("ea"))
     val r = e.select(col("label"), col("vec_id").as("vb"),
       col("embedding").as("eb"))
-    val dropped = l.join(r, "label")
+    // the cluster-scoped all-pairs join: both sides are the corpus-scale
+    // embedding frame (wide float arrays — highly compressible under 100×
+    // replication, the exact map-stat wobble surface r12 diagnosed), so
+    // the strategy is pinned. `merge` rather than shuffle_hash: within a
+    // label partition every row matches, and SMJ's spillable equal-key
+    // buffering survives a mega-cluster where a per-partition hash map of
+    // wide vectors would not.
+    val dropped = l.join(r.hint("merge"), "label")
       .filter(col("va") < col("vb"))
       .filter(round(expr("cosine_sim(ea, eb)"), 6) >= tau)
       .select(col("vb").as("vec_id"))
       .distinct()
-    e.join(dropped.withColumn("hit", lit(1)), Seq("vec_id"), "left")
+    // verdict list is corpus-scale (one id per dropped vector): pinned,
+    // building the narrow id list per partition
+    e.join(dropped.withColumn("hit", lit(1)).hint("shuffle_hash"),
+        Seq("vec_id"), "left")
       .select(col("vec_id"), col("label"),
         col("hit").isNull.as("kept"))
       .orderBy("vec_id")

@@ -147,7 +147,11 @@ object Pipeline {
   /** Same operator over any corpus/batch frames carrying (source, fp). */
   def incrementalOf(corpus: DataFrame, batch: DataFrame): DataFrame = {
     val fresh = batch
-      .join(corpus.select(col("fp")).distinct(), Seq("fp"), "left_anti")
+      // the distinct-fingerprint side is corpus-scale by design (one md5
+      // per distinct document): pinned so AQE can never decide to build
+      // it on the driver off a wobbling compressed estimate (r12 policy)
+      .join(corpus.select(col("fp")).distinct().hint("shuffle_hash"),
+        Seq("fp"), "left_anti")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_new"),
         count_distinct(col("fp")).as("n_new_unique"))

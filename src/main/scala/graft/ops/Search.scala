@@ -148,7 +148,12 @@ object Search {
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
     val tf = toks.filter(col("w").isin(terms: _*))
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    // the limit is a no-op (grouping a |terms|-filtered column yields at
+    // most |terms| rows) that makes the bound STRUCTURAL: maxRows is now
+    // Some(|terms|), so the broadcast below passes the whole-gate join-pin
+    // audit as bounded-by-construction instead of by allowlist
     val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      .limit(terms.size)
     // df is bounded by |terms| (explicit broadcast); dl and the scored
     // tf side are both DOC-scale by design — common query terms match a
     // corpus-sized doc set — so their join is pinned shuffle_hash
@@ -364,7 +369,10 @@ object Search {
     val base = Tables.documents(spark, dir)
       .withColumn("n_tokens", size(split(col("text"), " ", -1)).cast("long"))
       .select(col("doc_id"), col("source"), col("n_tokens"))
-    val d = base.join(scored, "doc_id")
+    // both sides are corpus-scale doc frames (the plan also repeats this
+    // join inside the budgets subtree): pinned per the r12 policy so AQE
+    // can never broadcast a doc-scale side on a wobbling size estimate
+    val d = base.join(scored.hint("shuffle_hash"), "doc_id")
     // `div`, not `/`: Spark's `/` is double division and a double→long
     // CAST truncates while DuckDB's rounds — integer floor-div on both
     // sides keeps odd totals engine-exact.

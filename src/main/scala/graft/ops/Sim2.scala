@@ -122,8 +122,12 @@ object Sim2 {
   def batchIvfOf(emb: DataFrame, queryPred: String,
     nprobe: Int, k: Int): DataFrame = {
     val (corpus, queries) = ivfSides(emb, queryPred, nprobe)
+    // the corpus side is the whole inverted file (wide vectors): pinned
+    // shuffle_hash building the replicated query batch per partition —
+    // the r12 policy; the list-cardinality parallelism floor documented
+    // above is a property of the shuffle keys, unchanged by the pin
     topKPerQuery(
-      corpus.join(queries, "lst")
+      corpus.join(queries.hint("shuffle_hash"), "lst")
         .select(col("q_id"), col("vec_id"),
           round(expr("cosine_sim(embedding, q_emb)"), 6).as("cos")),
       k)
@@ -147,8 +151,10 @@ object Sim2 {
     val c = corpus.withColumn("shard", pmod(col("vec_id"), lit(salt.toLong)))
     val q = queries.withColumn("shard",
       explode(sequence(lit(0L), lit(salt.toLong - 1))))
+    // same pin as the unsalted lane: the salted shuffle IS the point of
+    // this operator, so the strategy must not be left to a size estimate
     topKPerQuery(
-      c.join(q, Seq("lst", "shard"))
+      c.join(q.hint("shuffle_hash"), Seq("lst", "shard"))
         .select(col("q_id"), col("vec_id"),
           round(expr("cosine_sim(embedding, q_emb)"), 6).as("cos")),
       k)
