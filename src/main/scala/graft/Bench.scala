@@ -57,9 +57,16 @@ object Bench {
       .map { case (name, fn) =>
         graft.tools.BenchTrace.begin(name)
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // kept for the tracer's breach capture: the post-run executed
+        // plan (AQE-final) is the first thing the r12 hunt needed and
+        // the one thing a timeline alone cannot show
+        var df: org.apache.spark.sql.DataFrame = null
+        try { df = fn(spark, sfDir); df.count() }
+        catch { case _: Throwable => -1L }
         val secs = (System.nanoTime() - t0) / 1e9
-        graft.tools.BenchTrace.end(name, secs)
+        graft.tools.BenchTrace.end(name, secs, () =>
+          if (df == null) "<query failed before planning>"
+          else df.queryExecution.executedPlan.toString)
         name -> secs
       }
     // SPARK_GRAFT_BENCH_REPEAT=N (default 1, the driver's contract):

@@ -17,6 +17,18 @@ import org.apache.spark.sql.SparkSession
   * query is in flight past the threshold, catching whatever the
   * off-task time is spent on. Off by default: the driver's contract
   * runs (no env) execute the exact untraced path.
+  *
+  * Cliff SLO (r13): `SPARK_GRAFT_BENCH_BASELINE=<BENCH_FULL_*.json>`
+  * loads a committed per-query artifact and arms a PER-QUERY threshold
+  * of 3× the query's worst recorded pass (floored at
+  * [[MinCliffSec]] — the documented JIT/GC noise band means only
+  * ≥3× excursions on non-trivial queries are evidence). A breach
+  * auto-captures the full forensic set: post-run executed plan, stage
+  * timeline, heap/GC deltas, plus the watchdog's in-flight thread
+  * dumps — so a recurrence of a resample-class outlier self-documents
+  * instead of needing a fresh hunt (the r12 resample mechanism was
+  * inferred, never caught live; this closes that gap for good).
+  * Queries without a baseline entry fall back to the fixed threshold.
   */
 object BenchTrace {
   private val acc = new Object
@@ -25,6 +37,28 @@ object BenchTrace {
   @volatile private var current: String = null
   @volatile private var currentSince = 0L
   private var thresholdSec = 30
+  /** Floor for the 3×-baseline trigger: sub-second queries swing whole
+    * multiples on JIT/GC alone (SCALE.md noise-floor sections).
+    */
+  val MinCliffSec = 5.0
+  private var baseline: Map[String, Double] = Map.empty
+  @volatile private var currentThresholdSec: Double = 30.0
+
+  /** Every `"name": 1.234` pair in a BENCH_FULL artifact, keeping the
+    * WORST (max) value when a key repeats across `queries_passN` maps —
+    * the conservative baseline under same-JVM pass spread. Top-level
+    * artifact keys ("metric", "value", …) can never collide with gate
+    * query names, so a flat scan of the file is sufficient.
+    */
+  private[graft] def parseBaseline(path: String): Map[String, Double] = {
+    val text = scala.io.Source.fromFile(path)
+    try {
+      val pair = """"([A-Za-z0-9_]+)":\s*([0-9]+\.[0-9]+)""".r
+      pair.findAllMatchIn(text.mkString).toSeq
+        .map(m => m.group(1) -> m.group(2).toDouble)
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+    } finally text.close()
+  }
 
   import scala.jdk.CollectionConverters._
   private def jvmGcMs: Long = java.lang.management.ManagementFactory
@@ -37,6 +71,16 @@ object BenchTrace {
     if (!enabled) return
     thresholdSec = sys.env.get("SPARK_GRAFT_BENCH_TRACE_MIN")
       .flatMap(_.toIntOption).getOrElse(30)
+    currentThresholdSec = thresholdSec.toDouble
+    sys.env.get("SPARK_GRAFT_BENCH_BASELINE").foreach { path =>
+      if (new java.io.File(path).isFile) {
+        baseline = parseBaseline(path)
+        println(s"[trace] cliff SLO armed: 3x worst-recorded-pass of " +
+          s"${baseline.size} entries from $path (floor ${MinCliffSec}s)")
+      } else
+        println(s"[trace] WARNING: SPARK_GRAFT_BENCH_BASELINE=$path not " +
+          "found — falling back to the fixed threshold")
+    }
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(ev: SparkListenerStageCompleted): Unit = {
         val si = ev.stageInfo
@@ -63,7 +107,8 @@ object BenchTrace {
         Thread.sleep(45000)
         val name = current
         if (name != null &&
-          System.currentTimeMillis() - currentSince > thresholdSec * 1000L) {
+          System.currentTimeMillis() - currentSince >
+            (currentThresholdSec * 1000).toLong) {
           println(s"[trace-dump] $name in flight " +
             s"${(System.currentTimeMillis() - currentSince) / 1000}s; threads:")
           Thread.getAllStackTraces.asScala.toSeq
@@ -87,13 +132,17 @@ object BenchTrace {
   def begin(name: String): Unit = if (enabled) {
     acc.synchronized { timeline.clear(); runStartMs = System.currentTimeMillis() }
     gc0 = jvmGcMs
+    currentThresholdSec = baseline.get(name)
+      .map(b => math.max(3.0 * b, MinCliffSec))
+      .getOrElse(thresholdSec.toDouble)
     currentSince = System.currentTimeMillis()
     current = name
   }
 
-  def end(name: String, secs: Double): Unit = if (enabled) {
+  def end(name: String, secs: Double,
+      plan: () => String = () => ""): Unit = if (enabled) {
     current = null
-    if (secs > thresholdSec) {
+    if (secs > currentThresholdSec) {
       // the listener bus delivers stage events asynchronously: without a
       // drain, the tail stages of exactly the slow query being captured
       // can be missing, and their late events would land in the NEXT
@@ -103,9 +152,14 @@ object BenchTrace {
       val sm = java.lang.management.ManagementFactory
         .getMemoryMXBean.getHeapMemoryUsage
       println(f"[trace] $name took ${secs}%.1fs " +
-        f"(jvmGc=${(jvmGcMs - gc0) / 1e3}%.1fs, " +
+        f"(threshold ${currentThresholdSec}%.1fs" +
+        (if (baseline.contains(name)) ", cliff-SLO breach" else "") +
+        f", jvmGc=${(jvmGcMs - gc0) / 1e3}%.1fs, " +
         f"heap=${sm.getUsed / 1e9}%.1f/${sm.getMax / 1e9}%.1fGB) — stage timeline:")
       acc.synchronized { timeline.foreach(println) }
+      val p = try plan() catch { case e: Throwable => s"<plan capture failed: $e>" }
+      if (p.nonEmpty)
+        println(s"[trace-plan] $name executed plan:\n" + p.take(12000))
     }
   }
 }
