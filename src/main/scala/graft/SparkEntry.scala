@@ -133,6 +133,7 @@ object SparkEntry {
     "q_text_repetition" -> (Text.qTextRepetition _),
     "q_bm25" -> (graft.ops.Search.qBm25Search _),
     "q_hybrid_search" -> (graft.ops.Search.qHybridSearch _),
+    "q_hybrid_search_ivf" -> (graft.ops.Search.qHybridSearchIvf _),
     "q_sample_weighted" -> (graft.ops.Search.qSampleWeighted _),
     "q_decontaminate" -> (graft.ops.Search.qDecontaminate _),
     "q_quality_budget" -> (graft.ops.Search.qQualityBudget _),

@@ -216,17 +216,41 @@ object Search {
     * the query document lexically but never semantically, skewing the
     * fusion and the BM25 corpus stats N/avgdl). */
   def hybridSearchOf(rawDocs: DataFrame, emb: DataFrame, terms: Seq[String],
-      laneK: Int, k: Int): DataFrame = {
-    val rrfK = 60
-    val docs = rawDocs.filter(col("doc_id") =!= 0)
-    val lex = bm25Of(docs, terms, laneK)
+      laneK: Int, k: Int): DataFrame =
+    rrfFuse(lexLaneOf(rawDocs, terms, laneK),
+      semRank(bruteCosTopK(emb, laneK)), k)
+
+  /** The composite that PROVES the scaladoc's swap claim: the dense lane
+    * is the IVF probe answered from the AT-REST list-partitioned layout
+    * ([[Sim.ivfPrunedTopK]] — nprobe=3 lists, metadata-pruned files)
+    * instead of the brute full-corpus pass, fused by the identical RRF.
+    * Rank-space fusion never sees scores, so swapping the scorer touches
+    * nothing else — the oracle replays the IVF quantizer + probe exactly
+    * (shared CTEs with q_sim_ivf) and the fused output hash-matches.
+    * This is the 100 TB deployment shape: the lexical lane shuffles only
+    * term-filtered tokens, the dense lane reads ~nprobe/k of the corpus.
+    */
+  def qHybridSearchIvf(spark: SparkSession, dir: String): DataFrame =
+    rrfFuse(
+      lexLaneOf(Tables.documentsSpread(spark, dir), bm25Terms, laneK = 20),
+      semRank(Sim.ivfPrunedTopK(spark, dir, k = 20)),
+      k = 10)
+
+  /** BM25 lane: top-laneK docs ranked 1..laneK in rank space. Excludes
+    * the doc_id-0 query row (see [[hybridSearchOf]]'s contract). */
+  private def lexLaneOf(rawDocs: DataFrame, terms: Seq[String],
+      laneK: Int): DataFrame =
+    bm25Of(rawDocs.filter(col("doc_id") =!= 0), terms, laneK)
       .withColumn("lex_rank", row_number().over(
         Window.orderBy(col("bm25").desc, col("doc_id").asc)).cast("bigint"))
       .select(col("doc_id"), col("lex_rank"))
+
+  /** Brute dense lane: exact cosine of every vector against vec 0. */
+  private def bruteCosTopK(emb: DataFrame, laneK: Int): DataFrame = {
     val e = emb.withColumn("nrm", Sim.normExpr(col("embedding")))
     val q = broadcast(e.filter(col("vec_id") === 0)
       .select(col("embedding").as("q_emb"), col("nrm").as("q_nrm")))
-    val sem = e.filter(col("vec_id") =!= 0)
+    e.filter(col("vec_id") =!= 0)
       .crossJoin(q)
       .select(col("vec_id"),
         round(Sim.cosineFromParts(
@@ -234,9 +258,20 @@ object Search {
           .as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
       .limit(laneK)
+  }
+
+  /** Rank any (vec_id, cos_sim) lane result 1..n — runs AFTER the lane's
+    * limit, over ≤laneK rows (bounded by construction, not a row-scale
+    * global window). */
+  private def semRank(scored: DataFrame): DataFrame =
+    scored
       .withColumn("sem_rank", row_number().over(
         Window.orderBy(col("cos_sim").desc, col("vec_id").asc)).cast("bigint"))
       .select(col("vec_id").as("doc_id"), col("sem_rank"))
+
+  /** Reciprocal-rank fusion of two ≤laneK-row rank frames. */
+  private def rrfFuse(lex: DataFrame, sem: DataFrame, k: Int): DataFrame = {
+    val rrfK = 60
     lex.join(sem, Seq("doc_id"), "full_outer")
       .withColumn("rrf", round(
         when(col("lex_rank").isNull, lit(0.0))
@@ -479,6 +514,48 @@ object Search {
         |  COALESCE(sem_rank, 0) AS sem_rank
         |FROM lex FULL JOIN sem ON lex.doc_id = sem.doc_id
         |ORDER BY rrf DESC, doc_id ASC LIMIT 10""".stripMargin,
+    // identical lex lane + fusion; the dense lane replays the shared IVF
+    // quantizer/probe CTEs (Sim.ivfProbeCtes — the q_sim_ivf math
+    // verbatim) instead of the brute full-corpus cosine
+    "q_hybrid_search_ivf" -> {
+      val lexCtes =
+        """toks AS (
+          |  SELECT doc_id, w FROM (
+          |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+          |    FROM documents WHERE doc_id <> 0) WHERE w <> ''),
+          |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+          |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          |                 CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+          |tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+          |       WHERE w IN ('spark', 'filter', 'stream') GROUP BY doc_id, w),
+          |df AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w),
+          |scored AS (
+          |  SELECT tf.doc_id,
+          |    ln(1.0 + (n - df + 0.5) / (df + 0.5)) *
+          |      (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS s
+          |  FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN stats),
+          |bm AS (SELECT doc_id, ROUND(SUM(s), 6) AS bm25
+          |       FROM scored GROUP BY doc_id
+          |       ORDER BY bm25 DESC, doc_id ASC LIMIT 20),
+          |lex AS (SELECT doc_id,
+          |          CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC)
+          |               AS BIGINT) AS lex_rank
+          |        FROM bm)""".stripMargin
+      val fusion =
+        """sem AS (SELECT vec_id AS doc_id,
+          |          CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC)
+          |               AS BIGINT) AS sem_rank
+          |        FROM cos)
+          |SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+          |  ROUND(COALESCE(CAST(1 AS DOUBLE) / (60 + lex_rank), 0) +
+          |        COALESCE(CAST(1 AS DOUBLE) / (60 + sem_rank), 0), 6) AS rrf,
+          |  COALESCE(lex_rank, 0) AS lex_rank,
+          |  COALESCE(sem_rank, 0) AS sem_rank
+          |FROM lex FULL JOIN sem ON lex.doc_id = sem.doc_id
+          |ORDER BY rrf DESC, doc_id ASC LIMIT 10""".stripMargin
+      s"WITH ${Sim.ivfProbeCtes},\n$lexCtes,\n" +
+        s"cos AS (\n${Sim.ivfProbeSelect} LIMIT 20),\n$fusion"
+    },
     "q_decontaminate" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
         |p AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS pos

@@ -227,7 +227,15 @@ object Sim {
     * corpus and scanning all of it; the inline variant ([[qSimIvf]])
     * still pays the full-corpus scan to compute assignments per query.
     */
-  def qSimIvfPruned(spark: SparkSession, dir: String): DataFrame = {
+  def qSimIvfPruned(spark: SparkSession, dir: String): DataFrame =
+    ivfPrunedTopK(spark, dir, 10)
+
+  /** [[qSimIvfPruned]] with the result width parameterized — the dense
+    * lane of `q_hybrid_search_ivf` reads its top-laneK through the same
+    * pruned layout (rank-space fusion composes with ANY scorer, so the
+    * at-rest IVF story carries into the composite unchanged).
+    */
+  def ivfPrunedTopK(spark: SparkSession, dir: String, k: Int): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val out = new java.io.File(sys.props("java.io.tmpdir"),
       "graft_ivf_lists_" + dir.replaceAll("[^a-zA-Z0-9]", "_")).getAbsolutePath
@@ -252,7 +260,7 @@ object Sim {
       .select(col("vec_id"),
         round(expr("cosine_sim(embedding, q_emb)"), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
-      .limit(10)
+      .limit(k)
   }
 
   /** IVF with a *learned* codebook: KMeans (k=8, fixed seed) replaces the
@@ -335,12 +343,13 @@ object Sim {
           .as("recall_ok"))
   }
 
-  /** One oracle for both IVF probe paths: [[qSimIvfPruned]] reads the
-    * same vectors through the list-partitioned layout and must return
-    * bit-identical rows, so it shares [[qSimIvf]]'s SQL verbatim.
+  /** The IVF quantizer + probe as DuckDB CTEs (centroids → assignment →
+    * nprobe=3 probe list → query vector), shared verbatim by the
+    * q_sim_ivf / q_sim_ivf_pruned oracle AND the q_hybrid_search_ivf
+    * dense lane, so every consumer replays the identical math.
     */
-  private val ivfProbeOracle: String =
-    """WITH cm AS (
+  private[ops] val ivfProbeCtes: String =
+    """cm AS (
         |  SELECT label, pos,
         |    CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE)
         |      / COUNT(*) AS m
@@ -367,19 +376,27 @@ object Sim {
         |  SELECT embedding AS q_emb,
         |    sqrt(list_sum(list_transform(embedding,
         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS q_nrm
-        |  FROM embeddings WHERE vec_id = 0)
-        |SELECT b.vec_id,
-        |  round(list_sum(list_transform(list_zip(b.embedding, qv.q_emb),
-        |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-        |    / (sqrt(list_sum(list_transform(b.embedding,
-        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * qv.q_nrm), 6)
-        |    AS cos_sim
-        |FROM embeddings b
-        |JOIN assign a ON a.vec_id = b.vec_id
-        |JOIN probes p ON p.assigned = a.assigned
-        |CROSS JOIN qv
-        |WHERE b.vec_id <> 0
-        |ORDER BY cos_sim DESC, b.vec_id ASC LIMIT 10""".stripMargin
+        |  FROM embeddings WHERE vec_id = 0)""".stripMargin
+
+  /** The probed-cosine SELECT body over [[ivfProbeCtes]], LIMIT left to
+    * the consumer (10 for the probe gates, laneK for the hybrid lane).
+    */
+  private[ops] val ivfProbeSelect: String =
+    """SELECT b.vec_id,
+      |  round(list_sum(list_transform(list_zip(b.embedding, qv.q_emb),
+      |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(b.embedding,
+      |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * qv.q_nrm), 6)
+      |    AS cos_sim
+      |FROM embeddings b
+      |JOIN assign a ON a.vec_id = b.vec_id
+      |JOIN probes p ON p.assigned = a.assigned
+      |CROSS JOIN qv
+      |WHERE b.vec_id <> 0
+      |ORDER BY cos_sim DESC, b.vec_id ASC""".stripMargin
+
+  private val ivfProbeOracle: String =
+    s"WITH $ivfProbeCtes\n$ivfProbeSelect LIMIT 10"
 
   val oracles: Map[String, String] = Map(
     "q_sim_ivf_kmeans" ->

@@ -207,4 +207,24 @@ class SearchSpec extends SparkTestBase {
     assert("TakeOrderedAndProject".r.findAllIn(plan).size >= 2,
       s"both lanes must be TakeOrderedAndProject-bounded:\n$plan")
   }
+
+  test("IVF-hybrid dense lane reads the list-partitioned layout") {
+    val df = graft.ops.Search.qHybridSearchIvf(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the swap claim made real: the dense lane's scan is the AT-REST IVF
+    // layout (IvfPruneSpec pins its file pruning), not the raw
+    // embeddings table; lanes stay TakeOrderedAndProject-bounded
+    assert(plan.contains("graft_ivf_lists_"),
+      s"dense lane must scan the staged IVF layout:\n$plan")
+    assert("TakeOrderedAndProject".r.findAllIn(plan).size >= 2,
+      s"both lanes must be TakeOrderedAndProject-bounded:\n$plan")
+    // rank-space fusion: the IVF lane's ranks feed the same RRF — the
+    // top-1 doc must agree with the brute-lane composite on this corpus
+    // only if their lane rankings agree; assert instead on the contract
+    // that fused output is exactly k rows with 1-based or 0 ranks
+    val rows = df.collect()
+    assert(rows.length == 10)
+    assert(rows.forall(r => r.getLong(2) >= 0 && r.getLong(3) >= 0))
+  }
 }
