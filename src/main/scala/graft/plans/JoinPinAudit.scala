@@ -37,6 +37,11 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   *    boundedness; the filter pins it to a key's multiplicity — the
   *    query-vector `vec_id = 0` frames). A point filter does NOT excuse
   *    an unpinned join: the planner still sees an estimate, not a bound.
+  *    Scope note: the filter may sit anywhere in the side's subtree, so
+  *    this is EVIDENCE of a deliberate bounded-side broadcast, not a
+  *    proof of boundedness — the audit's hard guarantee is for the
+  *    unpinned flip class; explicit broadcasts are author decisions the
+  *    check cross-examines but does not fully verify.
   */
 object JoinPinAudit {
 
