@@ -122,10 +122,14 @@ object Sim2 {
   def batchIvfOf(emb: DataFrame, queryPred: String,
     nprobe: Int, k: Int): DataFrame = {
     val (corpus, queries) = ivfSides(emb, queryPred, nprobe)
-    // the corpus side is the whole inverted file (wide vectors): pinned
-    // shuffle_hash building the replicated query batch per partition —
-    // the r12 policy; the list-cardinality parallelism floor documented
-    // above is a property of the shuffle keys, unchanged by the pin
+    // This operator IS the "query set too big to broadcast" lane (object
+    // scaladoc): both sides shuffle on the list id by design, so the
+    // strategy is pinned shuffle_hash building the query side per
+    // partition. Before the pin, AQE would quietly broadcast the small
+    // gate-scale query batch — faster here (13 s vs 22 s at text100) but
+    // the OPPOSITE of the shape this lane demonstrates, and the exact
+    // estimator dependence the r12 policy removes; a batch that truly
+    // fits a broadcast belongs in [[qSimBatchTopK]]'s lane instead.
     topKPerQuery(
       corpus.join(queries.hint("shuffle_hash"), "lst")
         .select(col("q_id"), col("vec_id"),
