@@ -27,10 +27,17 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  // Experiment knob only (r12 cliff forensics): the code-cache-
-  // saturation hypothesis for the intermittent 100x-stage cliffs was
-  // TESTED and REFUTED — a full bench-parity session with a 100 MB
-  // cache (vs the 240 MB JDK 17 default) showed no slowdown anywhere,
-  // so the default is left alone unless the env is set.
+  // Experiment knob (r12/r13 cliff forensics): r12's 100 MB-cap session
+  // showed no slowdown, which ruled out raw CAPACITY; r13's live
+  // resample capture (SCALE.md §round-13 — pass-flip inside one JVM,
+  // all tasks interpreted-speed in the generated aggregate) reopened
+  // the JIT layer as the leading hypothesis, now about the segmented
+  // heaps' fill/flush dynamics rather than total size. Default left
+  // alone unless the env is set.
   s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_GRAFT_CODECACHE", "240m")}",
-)
+) ++
+  // Freeform diagnostics for forked mains (r13 resample-cliff hunt):
+  // e.g. SPARK_GRAFT_EXTRA_JVM="-Xlog:codecache=info" to timestamp
+  // code-cache sweeper/full events against a BenchTrace stage timeline.
+  sys.env.get("SPARK_GRAFT_EXTRA_JVM")
+    .map(_.split("\\s+").filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
