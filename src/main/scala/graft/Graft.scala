@@ -266,13 +266,19 @@ object Graft {
     def bm25(docs: DataFrame, terms: Seq[String], k: Int = 10): DataFrame =
       ops.Search.bm25Of(docs, terms, k)
 
-    /** Hybrid retrieval: BM25 lane + dense cosine lane (vec 0 of `emb`
-      * is the query vector) fused by reciprocal-rank fusion, each lane
-      * top-`laneK`-bounded before the rank-space fuse.
+    /** Hybrid retrieval: BM25 lane + dense cosine lane fused by
+      * reciprocal-rank fusion, each lane top-`laneK`-bounded before the
+      * rank-space fuse. `queryId` names the query row: the vector with
+      * `vec_id == queryId` is the probe, and the document with
+      * `doc_id == queryId` is EXCLUDED from both lanes and from the
+      * BM25 corpus stats (N, avgdl) — doc_id ≡ vec_id is the corpus
+      * contract. Default 0 matches the generator's convention; pass the
+      * real id when the corpus legitimately contains a doc 0 that is
+      * not the query document.
       */
     def hybridSearch(docs: DataFrame, emb: DataFrame, terms: Seq[String],
-        laneK: Int = 20, k: Int = 10): DataFrame =
-      ops.Search.hybridSearchOf(docs, emb, terms, laneK, k)
+        laneK: Int = 20, k: Int = 10, queryId: Long = 0L): DataFrame =
+      ops.Search.hybridSearchOf(docs, emb, terms, laneK, k, queryId)
 
     /** Cross-corpus n-gram decontamination: training docs sharing any
       * `l`-token gram with the held-out split (doc_id % 10 == 0 here),

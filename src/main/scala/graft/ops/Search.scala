@@ -209,16 +209,19 @@ object Search {
       Tables.embeddingsSpread(spark, dir), bm25Terms, laneK = 20, k = 10)
 
   /** Same operator over any (doc_id, text) corpus + (vec_id, embedding)
-    * table whose vec 0 is the query vector. The doc_id ≡ vec_id query
-    * row is excluded from BOTH lanes HERE (r13 ADVICE fix: the dense
-    * lane always dropped vec 0, but the lexical lane used to rely on
-    * the caller pre-filtering doc 0 — a raw corpus would have ranked
-    * the query document lexically but never semantically, skewing the
-    * fusion and the BM25 corpus stats N/avgdl). */
+    * table whose vec `queryId` is the query vector. The doc_id ≡ vec_id
+    * query row is excluded from BOTH lanes HERE (r13 ADVICE fix: the
+    * dense lane always dropped the query vector, but the lexical lane
+    * used to rely on the caller pre-filtering the query doc — a raw
+    * corpus would have ranked the query document lexically but never
+    * semantically, skewing the fusion and the BM25 corpus stats
+    * N/avgdl). `queryId` is parameterized (r14 ADVICE: hardcoding 0
+    * silently dropped a legitimate non-query doc 0 from lexical
+    * ranking); the gate queries keep the generator's vec-0 contract. */
   def hybridSearchOf(rawDocs: DataFrame, emb: DataFrame, terms: Seq[String],
-      laneK: Int, k: Int): DataFrame =
-    rrfFuse(lexLaneOf(rawDocs, terms, laneK),
-      semRank(bruteCosTopK(emb, laneK)), k)
+      laneK: Int, k: Int, queryId: Long = 0L): DataFrame =
+    rrfFuse(lexLaneOf(rawDocs, terms, laneK, queryId),
+      semRank(bruteCosTopK(emb, laneK, queryId)), k)
 
   /** The composite that PROVES the scaladoc's swap claim: the dense lane
     * is the IVF probe answered from the AT-REST list-partitioned layout
@@ -237,20 +240,22 @@ object Search {
       k = 10)
 
   /** BM25 lane: top-laneK docs ranked 1..laneK in rank space. Excludes
-    * the doc_id-0 query row (see [[hybridSearchOf]]'s contract). */
+    * the query-doc row (see [[hybridSearchOf]]'s contract). */
   private def lexLaneOf(rawDocs: DataFrame, terms: Seq[String],
-      laneK: Int): DataFrame =
-    bm25Of(rawDocs.filter(col("doc_id") =!= 0), terms, laneK)
+      laneK: Int, queryId: Long = 0L): DataFrame =
+    bm25Of(rawDocs.filter(col("doc_id") =!= queryId), terms, laneK)
       .withColumn("lex_rank", row_number().over(
         Window.orderBy(col("bm25").desc, col("doc_id").asc)).cast("bigint"))
       .select(col("doc_id"), col("lex_rank"))
 
-  /** Brute dense lane: exact cosine of every vector against vec 0. */
-  private def bruteCosTopK(emb: DataFrame, laneK: Int): DataFrame = {
+  /** Brute dense lane: exact cosine of every vector against the query
+    * vector. */
+  private def bruteCosTopK(emb: DataFrame, laneK: Int,
+      queryId: Long = 0L): DataFrame = {
     val e = emb.withColumn("nrm", Sim.normExpr(col("embedding")))
-    val q = broadcast(e.filter(col("vec_id") === 0)
+    val q = broadcast(e.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_emb"), col("nrm").as("q_nrm")))
-    e.filter(col("vec_id") =!= 0)
+    e.filter(col("vec_id") =!= queryId)
       .crossJoin(q)
       .select(col("vec_id"),
         round(Sim.cosineFromParts(

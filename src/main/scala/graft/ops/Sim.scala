@@ -237,8 +237,12 @@ object Sim {
     */
   def ivfPrunedTopK(spark: SparkSession, dir: String, k: Int): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
-    val out = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_ivf_lists_" + dir.replaceAll("[^a-zA-Z0-9]", "_")).getAbsolutePath
+    // content-fingerprinted (Sources.layoutDir): if the embeddings at
+    // `dir` are regenerated in place, the layout path changes and the
+    // probe re-stages — it can never answer from a layout of the OLD
+    // data while the codebook/probed ids recompute from the new
+    val out = graft.sources.Sources.layoutDir(
+      "graft_ivf_lists", dir, "embeddings.parquet")
     val e = Tables.embeddingsSpread(spark, dir)
     val cb = broadcast(labelMeanCodebook(e))
     graft.sources.Sources.stagePublishedLayout(s"$dir->$out", out) { tmp =>

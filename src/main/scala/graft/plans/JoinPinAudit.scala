@@ -151,6 +151,39 @@ object JoinPinAudit {
     }
   }
 
+  /** Every corpus-descended, not structurally-bounded side carrying an
+    * explicit BROADCAST hint — INCLUDING the ones [[audit]] excuses via
+    * the point-filter evidence rule. This is the enumeration the runtime
+    * cross-check executes (r13 verdict directive 5): the point filter is
+    * EVIDENCE of a deliberate bounded-side broadcast, not a proof, and
+    * the allowlisted `[domain]`/`[batch]`/`[capped]` broadcasts are
+    * author-reasoned, not engine-checked — `BroadcastBoundSpec` runs
+    * each such query and reads the broadcast exchange's actual row-count
+    * metric, turning "author asserted" into "engine verified".
+    */
+  def broadcastSides(name: String, df: DataFrame): Seq[Finding] =
+    df.queryExecution.optimizedPlan.collect { case j: Join =>
+      Seq(("left", j.left, j.hint.leftHint.flatMap(_.strategy)),
+        ("right", j.right, j.hint.rightHint.flatMap(_.strategy)))
+        .collect { case (lbl, side, Some(BROADCAST))
+            if tainted(side) && !bounded(side) =>
+          Finding(name, BroadcastCorpusSide, j.joinType.toString, lbl)
+        }
+    }.flatten
+
+  /** [[broadcastSides]] over the whole batch gate (same skip/cache rules
+    * as [[auditAll]]). */
+  def auditAllBroadcastSides(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Map[String, Seq[Finding]] = {
+    val skip = (n: String) =>
+      n.startsWith("q_stream_") || n.startsWith("pipe_") || n.startsWith("wc_")
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).collect {
+      case (name, fn) if !skip(name) =>
+        spark.sharedState.cacheManager.clearCache()
+        name -> broadcastSides(name, fn(spark, dir))
+    }.filter(_._2.nonEmpty).toMap
+  }
+
   /** Sweep every batch gate query. Streaming queries are excluded (their
     * returned frame is a materialized memory table; stream-side join
     * state is pinned in StreamingSpec) and so are the RDD-based pipe/wc

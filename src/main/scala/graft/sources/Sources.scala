@@ -320,6 +320,32 @@ object Sources {
       write: String => Unit): Unit =
     stageOnceInJvm(key) { publishLayoutOnce(out)(write) }
 
+  /** Location of a staged derived layout of `dir/sourceTable`, keyed by
+    * a content fingerprint of the source files (sorted name:size:mtime
+    * manifest). The memo and the cross-JVM `_SUCCESS` marker are
+    * path-keyed, so a layout path derived from the source PATH alone
+    * goes stale the moment the data at that path is regenerated (the
+    * 100× recipes rebuild into the same /tmp dir): the probe would
+    * answer from the old layout while codebook/probe ids recompute from
+    * fresh data — r14 ADVICE. Folding the fingerprint into the path
+    * makes regeneration produce a DIFFERENT layout dir, so staleness is
+    * structurally impossible; abandoned layouts are left for tmpdir
+    * cleanup (layouts are small projections, and the alternative —
+    * invalidating `_SUCCESS` in place — reopens the r11 TOCTOU the
+    * atomic-publish path closed).
+    */
+  def layoutDir(prefix: String, dir: String, sourceTable: String): String = {
+    val src = new java.io.File(dir, sourceTable)
+    val entries = Option(src.listFiles()).map(_.toSeq).getOrElse(Seq(src))
+    val manifest = entries.sortBy(_.getName)
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString("|")
+    val fp = f"${scala.util.hashing.MurmurHash3.stringHash(manifest) & 0xffffffffL}%08x"
+    val suffix = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"${prefix}_${suffix}_$fp").getAbsolutePath
+  }
+
   private def publishLayoutOnce(out: String)(write: String => Unit): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
     val outPath = Paths.get(out)
@@ -363,9 +389,9 @@ object Sources {
     */
   def qZOrderScan(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val suffix = dir.replaceAll("[^a-zA-Z0-9]", "_")
-    val out = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_zorder_" + suffix).getAbsolutePath
+    // content-fingerprinted (see layoutDir): regenerating lineitem in
+    // place re-stages instead of answering from the stale layout
+    val out = layoutDir("graft_zorder", dir, "lineitem.parquet")
     val base = graft.Tables.lineitem(spark, dir)
       .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
     stagePublishedLayout(s"$dir->$out", out) { tmp =>

@@ -44,21 +44,46 @@ object BenchTrace {
   private var baseline: Map[String, Double] = Map.empty
   @volatile private var currentThresholdSec: Double = 30.0
 
-  /** Every `"name": 1.234` pair in a BENCH_FULL artifact, keeping the
+  /** Every `"name": 1.234` pair in ONE BENCH_FULL artifact, keeping the
     * WORST (max) value when a key repeats across `queries_passN` maps —
-    * the conservative baseline under same-JVM pass spread. Top-level
-    * artifact keys ("metric", "value", …) can never collide with gate
-    * query names, so a flat scan of the file is sufficient.
+    * conservative under same-JVM pass spread, and deliberately NOT a
+    * per-artifact min: staging/memoization asymmetry is real pass-1 cost
+    * (q_bpe_apply runs 12.3 s staging-inclusive vs 1.3 s memoized at
+    * combo100 — a within-artifact min would flag it every session).
+    * Top-level artifact keys ("metric", "value", …) can never collide
+    * with gate query names, so a flat scan of the file is sufficient.
+    * Integer-formatted values parse too (r13 ADVICE: the old regex
+    * required a fractional part, so a `"q_x": 12` entry was silently
+    * dropped and that query's SLO quietly disarmed).
     */
-  private[graft] def parseBaseline(path: String): Map[String, Double] = {
+  private[graft] def parseArtifact(path: String): Map[String, Double] = {
     val text = scala.io.Source.fromFile(path)
     try {
-      val pair = """"([A-Za-z0-9_]+)":\s*([0-9]+\.[0-9]+)""".r
+      val pair = """"([A-Za-z0-9_]+)":\s*([0-9]+(?:\.[0-9]+)?)""".r
       pair.findAllMatchIn(text.mkString).toSeq
         .map(m => m.group(1) -> m.group(2).toDouble)
         .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
     } finally text.close()
   }
+
+  /** Curated baseline over SEVERAL artifacts (r13 verdict directive 2):
+    * per query, the MIN across artifacts of each artifact's worst pass.
+    * A single-artifact baseline is blinded by its own cliffs — arming
+    * from an artifact that itself contains a cliff pass raises that
+    * query's threshold to 3×-of-the-cliff (the r13 102 s resample
+    * instance printed NO breach because the armed artifact carried a
+    * 48.7 s pass). Under the min, any one CLEAN artifact in the set
+    * anchors the threshold at 3×-clean no matter what the others
+    * recorded; a query missing from some artifacts is floored by the
+    * ones that have it. One path reproduces the old behavior exactly.
+    */
+  private[graft] def parseBaseline(paths: Seq[String]): Map[String, Double] =
+    paths.map(parseArtifact).flatMap(_.toSeq)
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
+
+  /** Back-compat single-path entry (specs, old call sites). */
+  private[graft] def parseBaseline(path: String): Map[String, Double] =
+    parseBaseline(Seq(path))
 
   import scala.jdk.CollectionConverters._
   private def jvmGcMs: Long = java.lang.management.ManagementFactory
@@ -72,14 +97,23 @@ object BenchTrace {
     thresholdSec = sys.env.get("SPARK_GRAFT_BENCH_TRACE_MIN")
       .flatMap(_.toIntOption).getOrElse(30)
     currentThresholdSec = thresholdSec.toDouble
-    sys.env.get("SPARK_GRAFT_BENCH_BASELINE").foreach { path =>
-      if (new java.io.File(path).isFile) {
-        baseline = parseBaseline(path)
-        println(s"[trace] cliff SLO armed: 3x worst-recorded-pass of " +
-          s"${baseline.size} entries from $path (floor ${MinCliffSec}s)")
+    // comma-separated artifact list; per query the threshold is 3× the
+    // MIN across artifacts of each artifact's worst pass (see
+    // parseBaseline — a lone artifact containing a cliff pass cannot
+    // blind the tripwire when a clean artifact sits beside it)
+    sys.env.get("SPARK_GRAFT_BENCH_BASELINE").foreach { spec =>
+      val paths = spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val (found, missing) = paths.partition(p => new java.io.File(p).isFile)
+      missing.foreach(p => println(
+        s"[trace] WARNING: baseline artifact $p not found — skipped"))
+      if (found.nonEmpty) {
+        baseline = parseBaseline(found)
+        println(s"[trace] cliff SLO armed: 3x min-across-${found.size}" +
+          s"-artifact(s) worst-pass, ${baseline.size} entries " +
+          s"(floor ${MinCliffSec}s)")
       } else
-        println(s"[trace] WARNING: SPARK_GRAFT_BENCH_BASELINE=$path not " +
-          "found — falling back to the fixed threshold")
+        println(s"[trace] WARNING: SPARK_GRAFT_BENCH_BASELINE=$spec — no " +
+          "artifact found; falling back to the fixed threshold")
     }
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(ev: SparkListenerStageCompleted): Unit = {

@@ -22,9 +22,18 @@ object QTime {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // same warm pass contract as Bench: JIT/codegen at the small sf
+    // same warm pass contract as Bench: JIT/codegen at the small sf.
+    // Warm dir is configurable and its absence warns (r14 ADVICE —
+    // PrefixProbe's pattern): with the exceptions swallowed, a missing
+    // hardcoded path would silently no-op the warm pass and report
+    // un-warmed timings.
+    val warmDir = sys.env.getOrElse("GRAFT_PROBE_WARM_DIR",
+      "/root/testdata/sf0.001")
+    if (!new java.io.File(warmDir).isDirectory)
+      println(s"[qtime] WARNING: warm dir $warmDir does not exist — " +
+        "timings will be un-warmed; set GRAFT_PROBE_WARM_DIR")
     names.foreach { n =>
-      try graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
+      try graft.SparkEntry.queries(n)(spark, warmDir).count()
       catch { case _: Throwable => }
     }
     (1 to repeats).foreach { p =>

@@ -31,4 +31,69 @@ class BenchTraceSpec extends AnyFunSuite {
     assert(b("value") == 603.4)
     assert(!b.contains("q_dedup_jaccard"), "skip-list strings are not pairs")
   }
+
+  private def artifact(pass1: Seq[(String, String)],
+      pass2: Seq[(String, String)]): java.io.File = {
+    val f = java.io.File.createTempFile("graft-bench-baseline", ".json")
+    f.deleteOnExit()
+    val w = new java.io.PrintWriter(f)
+    def m(vs: Seq[(String, String)]) =
+      vs.map { case (k, v) => s"""  "$k": $v""" }.mkString("{\n", ",\n", "\n}")
+    w.println(s"""{"metric":"total","value":500.0,"unit":"sec","sf":"/tmp/x",
+      |"skipped":[],
+      |"queries":${m(pass1)},"total_pass2":500.0,"queries_pass2":${m(pass2)}}"""
+      .stripMargin)
+    w.close()
+    f
+  }
+
+  test("integer-formatted values parse (would silently disarm the SLO)") {
+    // r13 ADVICE: the old regex required a fractional part, so a value
+    // serialized without decimals fell back to the fixed 30 s threshold
+    val f = artifact(Seq("q_x" -> "12", "q_y" -> "0.5"),
+      Seq("q_x" -> "3.0", "q_y" -> "7"))
+    val b = graft.tools.BenchTrace.parseBaseline(f.getPath)
+    assert(b("q_x") == 12.0, "integer pass value must parse")
+    assert(b("q_y") == 7.0)
+  }
+
+  test("curated multi-artifact baseline un-blinds the SLO (102s replay)") {
+    // The r13 sequence replayed with the committed artifacts' values:
+    // the armed artifact (BENCH_FULL_graft_ev100.json) itself carried a
+    // 48.697 s resample cliff pass, so the 102.018 s instance
+    // (forensics/BENCH_FULL_graft_ev100_102s_cliff_run_r13.json) printed
+    // NO breach — threshold was 3×48.697 = 146 s. A clean artifact
+    // beside it (the r13 mitigation session ran 6.8/6.9 s, SCALE.md)
+    // must anchor the threshold back at 3×clean.
+    val cliffArtifact = artifact(
+      Seq("q_event_resample" -> "48.697", "q_bpe_apply" -> "12.337"),
+      Seq("q_event_resample" -> "7.823", "q_bpe_apply" -> "1.310"))
+    val cleanArtifact = artifact(
+      Seq("q_event_resample" -> "6.800", "q_bpe_apply" -> "12.100"),
+      Seq("q_event_resample" -> "6.900", "q_bpe_apply" -> "1.290"))
+    val slow = 102.018
+
+    val old = graft.tools.BenchTrace.parseBaseline(cliffArtifact.getPath)
+    assert(old("q_event_resample") == 48.697)
+    assert(slow < 3 * old("q_event_resample"),
+      "single-artifact policy: the 102 s instance is invisible (the bug)")
+
+    val curated = graft.tools.BenchTrace.parseBaseline(
+      Seq(cliffArtifact.getPath, cleanArtifact.getPath))
+    assert(curated("q_event_resample") == 6.9,
+      "clean artifact's worst pass anchors the query")
+    assert(slow > 3 * curated("q_event_resample"),
+      "curated policy: the 102 s instance WOULD have breached")
+    assert(48.697 > 3 * curated("q_event_resample"),
+      "…and so would the armed artifact's own 48.7 s cliff pass")
+
+    // staging/memoization pass asymmetry must NOT breach: within an
+    // artifact the WORST pass represents the query (q_bpe_apply pays
+    // BPE training in pass 1 — 12.3 s vs 1.3 s memoized), so min-ing
+    // happens only ACROSS artifacts
+    assert(curated("q_bpe_apply") == 12.1,
+      "per-artifact max guards staging-pass asymmetry")
+    assert(12.337 < 3 * curated("q_bpe_apply"),
+      "a normal staging-inclusive pass stays under its threshold")
+  }
 }

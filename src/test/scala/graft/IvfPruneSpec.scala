@@ -17,8 +17,8 @@ import graft.ops.Sim
   */
 class IvfPruneSpec extends SparkTestBase {
 
-  private def layoutDir = new java.io.File(sys.props("java.io.tmpdir"),
-    "graft_ivf_lists_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_"))
+  private def layoutDir = new java.io.File(graft.sources.Sources
+    .layoutDir("graft_ivf_lists", sfDir, "embeddings.parquet"))
 
   private def scanLeaves(p: SparkPlan): Seq[SparkPlan] = p match {
     case a: AdaptiveSparkPlanExec => scanLeaves(a.executedPlan)

@@ -198,6 +198,35 @@ class SearchSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("hybrid queryId parameterizes the reserved doc (doc 0 can be corpus)") {
+    import spark.implicits._
+    // r14 ADVICE: hardcoding the query id at 0 silently dropped a
+    // LEGITIMATE doc 0 from the lexical lane and the BM25 stats. Same
+    // fixture as the RRF-exactness test with the query moved to id 5:
+    // doc 0 is now an ordinary corpus document and must rank lexically.
+    val docs = Seq(
+      0L -> "t t t t", 2L -> "t t a b", 3L -> "t a b c",
+      5L -> "query doc itself").toDF("doc_id", "text")
+    val emb = Seq(
+      5L -> Array(1f, 0f, 0f), 2L -> Array(0.6f, 0.8f, 0f),
+      3L -> Array(1f, 0f, 0f), 4L -> Array(0.8f, 0.6f, 0f),
+      0L -> Array(0f, 1f, 0f))
+      .toDF("vec_id", "embedding")
+    val got = Search
+      .hybridSearchOf(docs, emb, Seq("t"), laneK = 20, k = 10, queryId = 5L)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(2), r.getLong(3))).toList
+    // lex lane: doc0 tf=4 rank 1, doc2 rank 2, doc3 rank 3 — doc 5 (the
+    // query doc, which contains no "t") plays no lexical part, and doc 0
+    // IS ranked; sem lane: vec3 cos 1.0 rank 1, vec4 0.8 rank 2, vec2
+    // 0.6 rank 3, vec0 cos 0 rank 4 — vec 5 (the query) excluded
+    val byDoc = got.map { case (d, lx, sm) => d -> (lx, sm) }.toMap
+    assert(byDoc(0L) == (1L, 4L), s"doc 0 must rank in BOTH lanes: $got")
+    assert(!byDoc.contains(5L), s"query doc 5 must be excluded: $got")
+    assert(byDoc(3L) == (3L, 1L) && byDoc(2L) == (2L, 3L) &&
+      byDoc(4L) == (0L, 2L), s"remaining ranks shift intact: $got")
+  }
+
   test("hybrid lanes are top-k bounded before fusion, never a global sort") {
     val df = graft.ops.Search.qHybridSearch(spark, sfDir)
     df.collect()

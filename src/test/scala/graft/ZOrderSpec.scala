@@ -85,14 +85,52 @@ class ZOrderSpec extends SparkTestBase {
     assert(results.forall(_ == results.head),
       "concurrent callers disagreed — a partial layout was read")
 
-    val suffix = dir.replaceAll("[^a-zA-Z0-9]", "_")
-    val out = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_zorder_" + suffix)
+    val out = new java.io.File(
+      Sources.layoutDir("graft_zorder", dir, "lineitem.parquet"))
     assert(new java.io.File(out, "_SUCCESS").isFile,
       "published layout must carry Spark's completeness marker")
     val debris = out.getParentFile.listFiles()
-      .filter(_.getName.startsWith(s"graft_zorder_$suffix.stage-"))
+      .filter(_.getName.startsWith(out.getName + ".stage-"))
     assert(debris.isEmpty, s"staging temp dirs leaked: ${debris.mkString(",")}")
+  }
+
+  // r14 ADVICE: the staged layout used to be keyed by the source PATH
+  // alone, memoized cross-JVM via _SUCCESS — regenerating the data at
+  // the same path (the 100× recipes rebuild in place) silently answered
+  // from the stale layout. The fingerprinted path must re-stage and
+  // reflect the NEW data.
+  test("in-place source regeneration re-stages the layout (no stale reads)") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft-zstale").toString
+    Files.copy(Paths.get(s"$sfDir/lineitem.parquet"),
+      Paths.get(s"$dir/lineitem.parquet"))
+    val before = Sources.qZOrderScan(spark, dir).collect().toSeq
+    assert(before.nonEmpty)
+
+    // regenerate IN PLACE: same path, different content (half the rows,
+    // nudged mtime so a same-second rewrite cannot alias the manifest)
+    val half = Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") % 2 === 0).toDF()
+    val tmpOut = Files.createTempDirectory("graft-zstale-w").toString
+    half.repartition(1).write.mode("overwrite").parquet(tmpOut)
+    val rewritten = new java.io.File(tmpOut).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Files.delete(Paths.get(s"$dir/lineitem.parquet"))
+    Files.copy(rewritten.toPath, Paths.get(s"$dir/lineitem.parquet"))
+    new java.io.File(s"$dir/lineitem.parquet")
+      .setLastModified(System.currentTimeMillis() + 2000)
+
+    val after = Sources.qZOrderScan(spark, dir).collect().toSeq
+    assert(after != before,
+      "layout answered for the OLD data after in-place regeneration")
+    // and it answers exactly the fresh data's box (recompute directly)
+    val maxP = half.agg(max("l_partkey")).head().getLong(0)
+    val maxS = half.agg(max("l_suppkey")).head().getLong(0)
+    val expected = half
+      .filter(col("l_partkey") <= maxP / 10 && col("l_suppkey") <= maxS / 10)
+      .count()
+    assert(after.map(_.getLong(1)).sum == expected,
+      "re-staged layout must reproduce the fresh data's row counts")
   }
 
   // the oracle-gated query (q_zorder_scan) must actually EXHIBIT the
