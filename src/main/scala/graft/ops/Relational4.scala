@@ -105,14 +105,37 @@ object Relational4 {
     * dense enough that per-minute combining collapses volume (many
     * events per user-minute), invert back to aggregate-first — and pin
     * the middle exchange some other way.
+    *
+    * r14: the pinned repartition is ACTIVATION-BOUNDED — `parts ×
+    * [[activationWaves]]` instead of `parts`. The 12-session r14 cliff
+    * campaign (SCALE.md §round-14, forensics/campaign_r14/) closed this
+    * query's intermittent 48–207 s stalls: JIT **activation-level tier
+    * starvation** — the fused aggregate loop is entered once per task,
+    * a running activation can only upgrade via OSR entry, and after a
+    * deopt storm at stage start the activations never re-enter the
+    * (present, valid) tier-4 code, so one starved activation runs
+    * sub-tier-4 for its WHOLE life. Raised recompilation cutoffs were
+    * refuted (a treatment session cliffed at 115 s with a tier-4 full
+    * compiled 0.8 s in and never entered). The lever that actually
+    * bounds the damage is activation LENGTH: with w waves of shorter
+    * tasks, a starved wave-1 activation costs ~1/w of the stage, and
+    * every later task re-enters through the method's front door,
+    * picking up the tier-4 full-method version that lands within ~1 s.
+    * This is also the honest cluster shape — at 100 TB, file splits
+    * bound per-activation input anyway; only single-node benches with
+    * cores-many giant partitions expose whole-stage starvation. At the
+    * gate scales the bound is a no-op (waves = 1, plan unchanged).
     */
   def qEventResample(spark: SparkSession, dir: String): DataFrame = {
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val waves = activationWaves(
+      Tables.events(spark, dir).queryExecution.optimizedPlan.stats.sizeInBytes,
+      parts)
     val e = Tables.events(spark, dir)
       .withColumn("minute", expr("unix_timestamp(ts) div 60"))
     val perMin = e
       .select(col("user_id"), col("minute"), col("value"))
-      .repartition(parts, col("user_id"))
+      .repartition(parts * waves, col("user_id"))
       .groupBy(col("user_id"), col("minute"))
       .agg(sum(col("value").cast(DecimalType(12, 2))).cast("double").as("v"))
     val wu = Window.partitionBy(col("user_id")).orderBy(col("minute").asc)
@@ -132,6 +155,23 @@ object Relational4 {
           .otherwise(0L)).as("n_gap_filled"),
         max_by(col("ff"), col("m")).as("final_value"))
       .orderBy("user_id")
+  }
+
+  /** Waves of tasks per core for [[qEventResample]]'s pinned exchange:
+    * `clamp(1..8, inputBytes / (parts · 512 KB))`. One wave (the
+    * gate-scale no-op) up to 512 KB of source per core; the ev100
+    * events table (110 MB, 32 cores) lands at 6 waves (~18 MB → ~50 k
+    * input rows → ~0.5 M exploded rows per activation); the cap keeps
+    * task-scheduling overhead bounded on even larger single-node
+    * stages. Derivation in the r14 scaladoc above: with w waves a
+    * tier-starved activation costs ~(30 + w − 1)/w of the clean stage
+    * instead of 30× — w = 6 bounds the historical 207 s worst case to
+    * roughly 40 s while adding ≲0.5 s of task overhead to a ~7 s clean
+    * stage. Pure function, spec-pinned.
+    */
+  private[graft] def activationWaves(inputBytes: BigInt, parts: Int): Int = {
+    val perCore = BigInt(parts.max(1)) * (512L * 1024L)
+    (inputBytes / perCore).min(8).max(1).toInt
   }
 
   val oracles: Map[String, String] = Map(

@@ -54,6 +54,27 @@ class PlanSpec extends SparkTestBase {
       "filtered customer side should broadcast")
   }
 
+  test("resample's pinned exchange is activation-bounded (r14 cliff fix)") {
+    import graft.ops.Relational4.activationWaves
+    // waves = clamp(1..8, inputBytes / (parts · 512 KB)) — the lever
+    // that bounds the OSR-starvation blast radius to ~1/waves of the
+    // stage (SCALE.md §round-14): gate scales are a no-op, the ev100
+    // events table (110 MB) gets 6 waves, the cap holds at huge inputs
+    assert(activationWaves(BigInt(2L << 20), 32) == 1, "sf0.1-scale no-op")
+    assert(activationWaves(BigInt(110L << 20), 32) == 6, "ev100 events")
+    assert(activationWaves(BigInt(10L << 30), 32) == 8, "wave cap")
+    assert(activationWaves(BigInt(0), 32) == 1, "floor")
+    // and at the gate scale the plan really is unchanged: the pinned
+    // exchange carries exactly spark.sql.shuffle.partitions
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val p = graft.ops.Relational4.qEventResample(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    assert(("""RepartitionByExpression \[user_id[^\]]*\], """ + parts + "\\b")
+        .r.findFirstIn(p).isDefined,
+      s"gate-scale resample must keep $parts pinned partitions:\n" +
+        p.linesIterator.filter(_.contains("Repartition")).mkString("\n"))
+  }
+
   test("global sort is range-partitioned, not single-reducer") {
     // the reference's global sort funnels everything through ONE reducer
     // (grep pattern, SURVEY §2b); ours must be a range-partitioned
