@@ -128,8 +128,13 @@ object Relational4 {
     */
   def qEventResample(spark: SparkSession, dir: String): DataFrame = {
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // waves keyed off the summed SOURCE FILE bytes, not
+    // optimizedPlan.stats.sizeInBytes (r15 ADVICE): the estimator value
+    // shifts with session conf (fileCompressionFactor) and silently
+    // yields the 8-wave cap when stats fall back to the huge default —
+    // file bytes make the plan shape a pure function of the staged data
     val waves = activationWaves(
-      Tables.events(spark, dir).queryExecution.optimizedPlan.stats.sizeInBytes,
+      BigInt(graft.sources.Sources.sourceFileBytes(dir, "events.parquet")),
       parts)
     val e = Tables.events(spark, dir)
       .withColumn("minute", expr("unix_timestamp(ts) div 60"))
@@ -158,7 +163,10 @@ object Relational4 {
   }
 
   /** Waves of tasks per core for [[qEventResample]]'s pinned exchange:
-    * `clamp(1..8, inputBytes / (parts · 512 KB))`. One wave (the
+    * `clamp(1..8, inputBytes / (parts · 512 KB))`, where `inputBytes`
+    * is the summed on-disk source file size
+    * ([[graft.sources.Sources.sourceFileBytes]] — deterministic across
+    * sessions, unlike the estimator stats used before r15). One wave (the
     * gate-scale no-op) up to 512 KB of source per core; the ev100
     * events table (110 MB, 32 cores) lands at 6 waves (~18 MB → ~50 k
     * input rows → ~0.5 M exploded rows per activation); the cap keeps

@@ -163,9 +163,34 @@ object BenchTrace {
     watchdog.start()
   }
 
+  /** Label appended to an over-threshold query's trace line. A pass
+    * that performed a layout staging WRITE (fresh content fingerprint —
+    * z-order, IVF lists) is first-pass cost by construction, not a
+    * cliff: the r14 campaign's s01 printed `q_zorder_scan@1 = 7.8 s`
+    * (threshold 5.0) as a `cliff-SLO breach` purely because the
+    * fingerprinted layout path was new that session. Demote such a
+    * breach to an annotated staging notice — the forensic capture still
+    * prints (the cost is real and worth a timeline), but the breach
+    * marker that campaign tooling greps for stays reserved for actual
+    * cliffs (r14 verdict directive 3). Queries without a baseline keep
+    * the bare fixed-threshold label as before.
+    */
+  private[graft] def breachLabel(hasBaseline: Boolean,
+      stagedThisPass: Boolean, stagedOut: String): String =
+    if (!hasBaseline) ""
+    else if (stagedThisPass)
+      // wording deliberately avoids the "cliff-SLO breach" substring —
+      // campaign tooling greps for that exact marker
+      s", staging pass — layout staged during this query ($stagedOut); " +
+        "expected first-pass cost, not a cliff"
+    else ", cliff-SLO breach"
+
+  private var stagings0 = 0L
+
   def begin(name: String): Unit = if (enabled) {
     acc.synchronized { timeline.clear(); runStartMs = System.currentTimeMillis() }
     gc0 = jvmGcMs
+    stagings0 = graft.sources.Sources.stagingsPerformed.get
     currentThresholdSec = baseline.get(name)
       .map(b => math.max(3.0 * b, MinCliffSec))
       .getOrElse(thresholdSec.toDouble)
@@ -185,9 +210,12 @@ object BenchTrace {
       Thread.sleep(1000)
       val sm = java.lang.management.ManagementFactory
         .getMemoryMXBean.getHeapMemoryUsage
+      val staged =
+        graft.sources.Sources.stagingsPerformed.get != stagings0
       println(f"[trace] $name took ${secs}%.1fs " +
         f"(threshold ${currentThresholdSec}%.1fs" +
-        (if (baseline.contains(name)) ", cliff-SLO breach" else "") +
+        breachLabel(baseline.contains(name), staged,
+          graft.sources.Sources.lastStagedOut) +
         f", jvmGc=${(jvmGcMs - gc0) / 1e3}%.1fs, " +
         f"heap=${sm.getUsed / 1e9}%.1f/${sm.getMax / 1e9}%.1fGB) — stage timeline:")
       acc.synchronized { timeline.foreach(println) }

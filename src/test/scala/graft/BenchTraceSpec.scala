@@ -96,4 +96,34 @@ class BenchTraceSpec extends AnyFunSuite {
     assert(12.337 < 3 * curated("q_bpe_apply"),
       "a normal staging-inclusive pass stays under its threshold")
   }
+
+  test("a layout-staging pass is annotated, not a cliff-SLO breach (s01 replay)") {
+    import graft.tools.BenchTrace
+    // r14 campaign s01: q_zorder_scan pass 1 ran 7.8 s because the
+    // fingerprinted layout path was fresh that session and the pass
+    // paid the z-order WRITE; the armed baseline's min was 1.0 s →
+    // threshold max(3×1.0, floor 5.0) = 5.0 — the tracer printed a
+    // `cliff-SLO breach` for expected first-pass staging cost (r14
+    // verdict directive 3). Replay the values and pin the demotion.
+    val f = artifact(Seq("q_zorder_scan" -> "1.0"),
+      Seq("q_zorder_scan" -> "1.1"))
+    val b = BenchTrace.parseBaseline(f.getPath)
+    val threshold = math.max(3.0 * b("q_zorder_scan"), BenchTrace.MinCliffSec)
+    assert(threshold == 5.0 && 7.8 > threshold,
+      "s01's staging pass trips the threshold either way — the label is " +
+        "what must change")
+    val annotated = BenchTrace.breachLabel(hasBaseline = true,
+      stagedThisPass = true, stagedOut = "/tmp/graft_zorder_tmp_x_ab12cd34")
+    assert(!annotated.contains("cliff-SLO breach"),
+      "a pass that performed a staging write must not print the breach " +
+        "marker campaign tooling greps for")
+    assert(annotated.contains("staging pass"),
+      "…but it must still be annotated (the cost is real)")
+    // a genuinely slow pass with no staging keeps the breach marker,
+    // and fixed-threshold (no-baseline) queries keep the bare label
+    assert(BenchTrace.breachLabel(hasBaseline = true, stagedThisPass = false,
+      stagedOut = "").contains("cliff-SLO breach"))
+    assert(BenchTrace.breachLabel(hasBaseline = false, stagedThisPass = true,
+      stagedOut = "x") == "")
+  }
 }

@@ -63,11 +63,19 @@ class BroadcastBoundSpec extends SparkTestBase {
           "(enumeration and physical plan disagree)")
       else
         exchanges.flatMap { ex =>
-          val rows = ex.metrics.get("numOutputRows").map(_.value).getOrElse(-1L)
-          if (rows > JoinPinAudit.BoundedRows)
-            Seq(s"$name: broadcast exchange built $rows rows " +
-              s"(> ${JoinPinAudit.BoundedRows}) — the asserted bound is false")
-          else Nil
+          ex.metrics.get("numOutputRows").map(_.value) match {
+            // a missing metric would make the cross-check vacuous for
+            // exactly the exchange it exists to verify — fail it like
+            // the no-broadcast case instead of getOrElse(-1L)-passing
+            // (r15 ADVICE)
+            case None =>
+              Seq(s"$name: broadcast exchange exposes no numOutputRows " +
+                "metric — bound cannot be engine-verified")
+            case Some(rows) if rows > JoinPinAudit.BoundedRows =>
+              Seq(s"$name: broadcast exchange built $rows rows " +
+                s"(> ${JoinPinAudit.BoundedRows}) — the asserted bound is false")
+            case _ => Nil
+          }
         }
     }
     assert(failures.isEmpty,

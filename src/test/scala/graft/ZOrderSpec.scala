@@ -107,8 +107,12 @@ class ZOrderSpec extends SparkTestBase {
     val before = Sources.qZOrderScan(spark, dir).collect().toSeq
     assert(before.nonEmpty)
 
-    // regenerate IN PLACE: same path, different content (half the rows,
-    // nudged mtime so a same-second rewrite cannot alias the manifest)
+    // regenerate IN PLACE: same path, different content (half the
+    // rows). The rewrite deliberately REUSES the original file's mtime:
+    // since r15 the manifest carries a content edge-hash, so the
+    // re-stage must trigger on the bytes alone — before that fix this
+    // spec had to nudge mtime +2 s to dodge same-granule aliasing
+    val origMtime = new java.io.File(s"$dir/lineitem.parquet").lastModified
     val half = Tables.lineitem(spark, dir)
       .filter(col("l_orderkey") % 2 === 0).toDF()
     val tmpOut = Files.createTempDirectory("graft-zstale-w").toString
@@ -117,8 +121,7 @@ class ZOrderSpec extends SparkTestBase {
       .filter(_.getName.endsWith(".parquet")).head
     Files.delete(Paths.get(s"$dir/lineitem.parquet"))
     Files.copy(rewritten.toPath, Paths.get(s"$dir/lineitem.parquet"))
-    new java.io.File(s"$dir/lineitem.parquet")
-      .setLastModified(System.currentTimeMillis() + 2000)
+    new java.io.File(s"$dir/lineitem.parquet").setLastModified(origMtime)
 
     val after = Sources.qZOrderScan(spark, dir).collect().toSeq
     assert(after != before,
@@ -131,6 +134,31 @@ class ZOrderSpec extends SparkTestBase {
       .count()
     assert(after.map(_.getLong(1)).sum == expected,
       "re-staged layout must reproduce the fresh data's row counts")
+  }
+
+  // r15 ADVICE: name:size:mtime aliased an in-place rewrite that
+  // preserved all three (mtime has filesystem granularity — a rewrite
+  // inside one granule is invisible). The manifest now folds in an
+  // edge-hash of each file's first/last 4 KB, so only the BYTES decide.
+  test("layoutDir fingerprints content: same name/size/mtime rewrite re-keys") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-lfp").toString
+    val f = new java.io.File(dir, "t.parquet")
+    def write(fill: Byte): Unit = {
+      val w = new java.io.FileOutputStream(f)
+      try w.write(Array.fill[Byte](8192)(fill)) finally w.close()
+      f.setLastModified(1700000000000L) // pin mtime: only content differs
+    }
+    write(1)
+    val a = Sources.layoutDir("graft_lfp", dir, "t.parquet")
+    write(2)
+    val b = Sources.layoutDir("graft_lfp", dir, "t.parquet")
+    assert(f.length == 8192 && f.lastModified == 1700000000000L,
+      "rewrite must preserve name, size, and mtime for this to test content")
+    assert(a != b,
+      "same-size same-mtime in-place rewrite aliased to the stale layout path")
+    // and an untouched file keys stably (no spurious re-staging)
+    assert(b == Sources.layoutDir("graft_lfp", dir, "t.parquet"))
   }
 
   // the oracle-gated query (q_zorder_scan) must actually EXHIBIT the

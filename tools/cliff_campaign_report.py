@@ -41,7 +41,10 @@ for s in sessions.values():
 
 print(f"{'session':12s} {'resample p1':>11s} {'resample p2':>11s} "
       f"{'total p1':>9s} {'total p2':>9s}  cliffs(>=3x campaign-min, >={FLOOR}s)")
-arm_stats = {"cut": [], "ctl": []}
+# arm comes from the tag suffix (sNN_<arm>): cut/ctl for the r14 A/B
+# campaign, a single arm (e.g. bnd) for the r15 bounded-shape re-run
+import collections
+arm_stats = collections.defaultdict(list)
 for tag in sorted(sessions):
     s = sessions[tag]
     r1 = s["pass1"].get("q_event_resample", float("nan"))
