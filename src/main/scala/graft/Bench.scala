@@ -52,6 +52,14 @@ object Bench {
     // the scaled stages); the driver's contract runs take the untraced
     // path (no env, hooks no-op).
     graft.tools.BenchTrace.install(spark)
+    // Queries whose pass threw (exception swallowed so one bad query
+    // doesn't kill the whole bench) — RECORDED in the artifact: an r15
+    // campaign session had a storage OOM kill the SparkContext at query
+    // 60/166, and the remaining 106 "measurements" were 5 ms dead-
+    // context no-ops that read as a fast clean pass ("breaches 0").
+    // A failed list in the artifact makes that session shape
+    // unmistakable; a stopped context aborts the bench outright below.
+    val failedQueries = scala.collection.mutable.LinkedHashSet.empty[String]
     def runPass(): Seq[(String, Double)] = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => !skip.contains(name) }
       .map { case (name, fn) =>
@@ -62,11 +70,21 @@ object Bench {
         // the one thing a timeline alone cannot show
         var df: org.apache.spark.sql.DataFrame = null
         try { df = fn(spark, sfDir); df.count() }
-        catch { case _: Throwable => -1L }
+        catch { case _: Throwable => failedQueries += name }
         val secs = (System.nanoTime() - t0) / 1e9
         graft.tools.BenchTrace.end(name, secs, () =>
           if (df == null) "<query failed before planning>"
           else df.queryExecution.executedPlan.toString)
+        if (spark.sparkContext.isStopped) {
+          // A dead context cannot run the remaining queries — every
+          // further number would be a no-op masquerading as a
+          // measurement. Fail LOUDLY: no artifact, nonzero exit, so a
+          // campaign script can never fold this session into a
+          // baseline.
+          System.err.println(
+            s"GRAFT-BENCH FATAL: SparkContext stopped during $name — aborting")
+          sys.exit(3)
+        }
         name -> secs
       }
     // SPARK_GRAFT_BENCH_REPEAT=N (default 1, the driver's contract):
@@ -136,6 +154,7 @@ object Bench {
       .map { case (k, v) => s"""  "$k": ${f3(v)}""" }
       .mkString("{\n", ",\n", "\n}")
     val skipped = skip.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failed = failedQueries.toSeq.map("\"" + _ + "\"").mkString("[", ",", "]")
     val dirName = new java.io.File(sfDir).getName
     // extra passes (repeat > 1): full per-pass maps, so the committed
     // noise-floor artifact carries every query's same-session spread
@@ -151,7 +170,7 @@ object Bench {
       val out = new java.io.PrintWriter(path)
       try out.println(
         s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir",
-           |"skipped":$skipped,
+           |"skipped":$skipped,"failed":$failed,
            |"queries":$full$passesJson}""".stripMargin)
       finally out.close()
     }

@@ -29,11 +29,22 @@ object Graph {
     * `reliableCheckpoint`: the edge list and degree table are
     * materialized once before the loop (each iteration would otherwise
     * replan and re-shuffle the whole derivation chain — measured
-    * 7.9 s → 5.2 s at sf0.1). `false` = `localCheckpoint` (executor
-    * blocks — fine single-node, lost with an executor); `true` =
-    * reliable `checkpoint()` to the configured checkpoint dir, which
-    * survives executor loss — the cluster setting, same trade the CC
-    * resolver documents. Requires `sc.setCheckpointDir`.
+    * 7.9 s → 5.2 s at sf0.1). `false` = columnar Dataset cache
+    * (`persist(MEMORY_AND_DISK)` — compressed CachedBatches, spills
+    * instead of OOM; recompute-on-eviction is deterministic so results
+    * cannot drift); `true` = reliable `checkpoint()` to the configured
+    * checkpoint dir, which survives executor loss — the cluster
+    * setting, same trade the CC resolver documents. Requires
+    * `sc.setCheckpointDir`. The local arm was `localCheckpoint` until
+    * an r15 campaign session died here: localCheckpoint stores row
+    * OBJECTS (deserialized, unspillable unroll vectors), ~10× the
+    * columnar footprint, and at the 100× facts stage (118 M doubled
+    * edges, 32 concurrent unrolling tasks) that sat close enough to
+    * the 32 g heap that scheduling noise tipped one session into a
+    * storage-unroll OOM which killed the whole SparkContext
+    * (forensics/campaign_r15_aborted, s01). The cache keeps the same
+    * replan-avoidance (Catalyst swaps in InMemoryRelation) with a
+    * bounded 10 k-row unroll per batch.
     *
     * `broadcastRanks`: ranks are O(nodes) — broadcast them (`true`) so
     * the edge list never shuffles for the join; only the per-
@@ -60,7 +71,8 @@ object Graph {
     reliableCheckpoint: Boolean = false,
     broadcastRanks: Boolean = true): (DataFrame, Seq[DataFrame]) = {
     def pin(df: DataFrame): DataFrame =
-      if (reliableCheckpoint) df.checkpoint() else df.localCheckpoint()
+      if (reliableCheckpoint) df.checkpoint()
+      else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val edges = pin(edgesIn.select(col("src"), col("dst")))
     val deg = pin(edges.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("d")))

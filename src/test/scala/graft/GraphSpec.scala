@@ -18,7 +18,7 @@ class GraphSpec extends SparkTestBase {
       .orderBy(col("rank_scaled").desc, col("node").asc)
       .limit(20)
 
-  test("reliable checkpoint() variant matches localCheckpoint exactly") {
+  test("reliable checkpoint() variant matches the cached-pin arm exactly") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-ckpt-graph").toString
     spark.sparkContext.setCheckpointDir(dir)
