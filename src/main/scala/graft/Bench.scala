@@ -33,6 +33,9 @@ object Bench {
         if (name.startsWith("q_stream_"))
           try fn(spark, sfDir).count() catch { case _: Throwable => }
       }
+      // the warm pass's sink tables are consumed — drop them so the
+      // timed passes start at zero driver-resident sink footprint
+      graft.streaming.Streaming.retireAll(spark)
     } else
       try {
         spark.read.parquet(s"$sfDir/lineitem.parquet")
@@ -75,6 +78,14 @@ object Bench {
         graft.tools.BenchTrace.end(name, secs, () =>
           if (df == null) "<query failed before planning>"
           else df.queryExecution.executedPlan.toString)
+        // Memory-sink hygiene OUTSIDE the timed window: this query's
+        // result is consumed (count above), so its driver-resident sink
+        // table is dead weight from here on. Retiring per stream query
+        // bounds live sink tables to ≤1 instead of ~15 families' worth
+        // — the standing residue behind the same-JVM streaming drift
+        // (r13 combo100 isolation probes; r15 campaign s05 pass 2).
+        if (name.startsWith("q_stream_"))
+          graft.streaming.Streaming.retireAll(spark)
         if (spark.sparkContext.isStopped) {
           // A dead context cannot run the remaining queries — every
           // further number would be a no-op masquerading as a

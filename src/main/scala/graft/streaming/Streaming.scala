@@ -268,6 +268,30 @@ object Streaming {
       catch { case _: Exception => () }
   }
 
+  /** Drop EVERY registered memory-sink view, not just a family's
+    * previous run. [[retirePrevious]] bounds each family to one live
+    * table, but a full bench pass still ends with ~15 families' LATEST
+    * tables resident on the driver — ~25 M rows at the 100× events
+    * stage — and that standing residue is the measured same-JVM
+    * streaming drift (r13 combo100: `q_stream_dedup` 38.1 s in-session
+    * vs 18.4 s isolated; recurred at ~1-in-8 sessions in the r15
+    * campaign, s05 pass 2: sessions 18.6 s / tumbling 9.9 s /
+    * static_join 6.4 s, GC-heavy timelines, plans intact). A harness
+    * that has CONSUMED a query's result calls this to return the
+    * driver to zero sink footprint; the next `runToMemory` in any
+    * family re-registers cleanly ([[retirePrevious]] tolerates the
+    * cleared map). Same held-frame caveat as retirement: a frame
+    * handed out earlier keeps serving rows — callers consume first.
+    */
+  def retireAll(spark: SparkSession): Unit = {
+    val it = lastMemTable.values.iterator()
+    while (it.hasNext) {
+      try spark.catalog.dropTempView(it.next())
+      catch { case _: Exception => () }
+    }
+    lastMemTable.clear()
+  }
+
   /** When non-null (set only by `graft.tools.ExplainDump`), every
     * streaming runner deposits its query's LAST EXECUTED micro-batch
     * physical plan here (keyed by the memory-sink query name) just

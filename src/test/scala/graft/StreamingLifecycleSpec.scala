@@ -66,6 +66,27 @@ class StreamingLifecycleSpec extends SparkTestBase {
       s"expected TABLE_OR_VIEW_NOT_FOUND, got: ${ex.getMessage}")
   }
 
+  test("retireAll drops every registered sink view and the next run re-registers cleanly") {
+    runCounts("graft_retireall_a_1")
+    runCounts("graft_retireall_b_1")
+    assert(spark.catalog.tableExists("graft_retireall_a_1"))
+    assert(spark.catalog.tableExists("graft_retireall_b_1"))
+
+    Streaming.retireAll(spark)
+    assert(!spark.catalog.tableExists("graft_retireall_a_1"),
+      "retireAll must drop every family's latest view")
+    assert(!spark.catalog.tableExists("graft_retireall_b_1"),
+      "retireAll must drop every family's latest view")
+
+    // the cleared map must not confuse per-family retirement: a fresh
+    // run of family a registers, works, and is droppable again
+    val again = runCounts("graft_retireall_a_2")
+    assert(again.count() === 5L)
+    assert(spark.catalog.tableExists("graft_retireall_a_2"))
+    Streaming.retireAll(spark)
+    assert(!spark.catalog.tableExists("graft_retireall_a_2"))
+  }
+
   test("adaptiveStateParts: tiny zone floors at 8, large zone tracks bytes, floor beats cap") {
     val MiB = 1L << 20
     // tiny zone (≤ ~32 MiB): per-store maintenance dominates → the floor
