@@ -58,6 +58,20 @@ def main():
               f"(thresh {thresh}s), resample passes {sorted(round(v,1) for v in passes)}, "
               f"median p2-total-excl-resample {st.median(ex2s):.1f}s")
     if arms["ctl"] and arms["trt"]:
+        # Fisher exact on SESSIONS (a session "cliffed" if any pass did) --
+        # passes within a session share a JIT state, so sessions are the
+        # honest independence unit; pass counts above are descriptive.
+        def cliffed(rows):
+            return sum(1 for _, r1, r2, *_ in rows if r1 > thresh or r2 > thresh)
+        from math import comb
+        a, b = cliffed(arms["ctl"]), cliffed(arms["trt"])
+        n1, n2 = len(arms["ctl"]), len(arms["trt"])
+        k = a + b
+        # one-sided: P(ctl cliffs >= a | margins fixed)
+        p = sum(comb(n1, x) * comb(n2, k - x) for x in range(a, min(k, n1) + 1)
+                if 0 <= k - x <= n2) / comb(n1 + n2, k)
+        print(f"\nsession-level cliff table: ctl {a}/{n1}, trt {b}/{n2}; "
+              f"Fisher exact one-sided p = {p:.4f}")
         mc = st.median([ex2 for *_, ex2, _ in arms["ctl"]])
         mt = st.median([ex2 for *_, ex2, _ in arms["trt"]])
         print(f"\nsteady-state lever cost (median p2 excl resample): "
