@@ -127,7 +127,30 @@ object Relational4 {
     * gate scales the bound is a no-op (waves = 1, plan unchanged).
     */
   def qEventResample(spark: SparkSession, dir: String): DataFrame = {
+    // r16 scoped shared-map lever: every r13–r15 cliff capture starves
+    // in THIS query's per-query generated fast-map `findOrInsert`; the
+    // shared `BytesToBytesMap` path (twolevel.enabled=false) is
+    // profile-hot JVM-wide and has no per-query nmethod to starve. The
+    // r15 global A/B priced the flip at ~2× on this query's clean
+    // passes but ~0 globally — so the flip must be scoped to exactly
+    // this query, not the session. Spark has no per-query conf, but a
+    // child session (shares SparkContext, cached data, the JVM-global
+    // codegen cache, and the context-bus listeners; SQLConf re-merged
+    // from the SparkContext conf) carries the flip for only the plans
+    // built against it. Knob: `spark.graft.resample.fastMapOff`
+    // (default decided by the r16 campaign; flows in via
+    // -Dspark.graft.resample.fastMapOff=… like any spark.* property).
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val fastMapOff =
+      spark.conf.get("spark.graft.resample.fastMapOff", "false").toBoolean
+    val s =
+      if (!fastMapOff) spark
+      else {
+        val child = spark.newSession()
+        child.conf.set(
+          "spark.sql.codegen.aggregate.map.twolevel.enabled", "false")
+        child
+      }
     // waves keyed off the summed SOURCE FILE bytes, not
     // optimizedPlan.stats.sizeInBytes (r15 ADVICE): the estimator value
     // shifts with session conf (fileCompressionFactor) and silently
@@ -136,7 +159,7 @@ object Relational4 {
     val waves = activationWaves(
       BigInt(graft.sources.Sources.sourceFileBytes(dir, "events.parquet")),
       parts)
-    val e = Tables.events(spark, dir)
+    val e = Tables.events(s, dir)
       .withColumn("minute", expr("unix_timestamp(ts) div 60"))
     val perMin = e
       .select(col("user_id"), col("minute"), col("value"))

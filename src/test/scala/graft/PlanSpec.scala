@@ -75,6 +75,37 @@ class PlanSpec extends SparkTestBase {
         p.linesIterator.filter(_.contains("Repartition")).mkString("\n"))
   }
 
+  test("resample's scoped shared-map knob flips only its own session (r16)") {
+    // `spark.graft.resample.fastMapOff` routes ONLY this query's plans
+    // through the shared BytesToBytesMap aggregate path (the r13–r15
+    // cliff captures all starve in the per-query generated fast map's
+    // findOrInsert). The mechanism is a child session — the flip must
+    // be visible on the returned DataFrame's session, invisible on the
+    // caller's, inherit the caller's builder confs, and not change
+    // results.
+    val key = "spark.graft.resample.fastMapOff"
+    val tl = "spark.sql.codegen.aggregate.map.twolevel.enabled"
+    val base = graft.ops.Relational4.qEventResample(spark, sfDir)
+    assert(base.sparkSession eq spark,
+      "knob off must build on the caller's session (zero-cost default)")
+    val expected = base.collect().map(_.toString).sorted
+    spark.conf.set(key, "true")
+    try {
+      val scoped = graft.ops.Relational4.qEventResample(spark, sfDir)
+      assert(scoped.sparkSession ne spark,
+        "knob on must build on a child session")
+      assert(scoped.sparkSession.conf.get(tl) == "false",
+        "child session must run the shared-map aggregate path")
+      assert(spark.conf.get(tl) == "true",
+        "the twolevel flip must not leak to the caller's session")
+      assert(scoped.sparkSession.conf.get("spark.sql.shuffle.partitions")
+          == spark.conf.get("spark.sql.shuffle.partitions"),
+        "child must inherit the caller's builder confs")
+      assert(scoped.collect().map(_.toString).sorted.sameElements(expected),
+        "scoped path must be result-identical")
+    } finally spark.conf.unset(key)
+  }
+
   test("global sort is range-partitioned, not single-reducer") {
     // the reference's global sort funnels everything through ONE reducer
     // (grep pattern, SURVEY §2b); ours must be a range-partitioned
