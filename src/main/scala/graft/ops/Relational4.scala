@@ -138,8 +138,16 @@ object Relational4 {
     // codegen cache, and the context-bus listeners; SQLConf re-merged
     // from the SparkContext conf) carries the flip for only the plans
     // built against it. Knob: `spark.graft.resample.fastMapOff`
-    // (default decided by the r16 campaign; flows in via
-    // -Dspark.graft.resample.fastMapOff=… like any spark.* property).
+    // (flows in via -Dspark.graft.resample.fastMapOff=… like any
+    // spark.* property). Adjudicated by the r16 alternating-arm ev100
+    // campaign (SCALE.md §round-16, forensics/campaign_r16/): default
+    // stays FALSE — cluster executors (few cores per JVM, file-split-
+    // bounded activations) never hit the starvation precondition and
+    // keep the fast map's ~2.1× win on this aggregate; single-JVM
+    // many-core deployments where agg-stage p99 matters should set it
+    // true (measured: resample 2.1× steady-state, ZERO other-lane
+    // cost by construction, 0 cliffs in 10 drifted-morning treatment
+    // passes vs the control arm's 3-in-10 at 77.8–115.8 s).
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val fastMapOff =
       spark.conf.get("spark.graft.resample.fastMapOff", "false").toBoolean
