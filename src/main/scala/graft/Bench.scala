@@ -116,32 +116,68 @@ object Bench {
     // tree's own noise floor and took a night of SCALE.md
     // cross-referencing to clear the code; the campaign-night episode
     // probed fsync at 1.26 ms/call vs ~0.05 quiet.
+    // Each probe is individually guarded (r16 ADVICE): an IO failure in
+    // the POST-pass fsync probe (/tmp full, unwritable) must not throw
+    // away an ~18-minute session's timed measurements for a probe-only
+    // problem. A failed probe records the sentinel -1 in the artifact —
+    // still self-documenting (a judge reads "probe unavailable", not a
+    // fake quiet value).
     def hostProbe(): (Double, Double) = {
-      var x = 0x9E3779B97F4A7C15L
-      var i = 0L
-      val t0 = System.nanoTime()
-      while (i < (1L << 28)) {
-        x = java.lang.Long.rotateLeft(x * 0xBF58476D1CE4E5B9L, 31) ^ i
-        i += 1
-      }
-      val spin = (System.nanoTime() - t0) / 1e9
-      if (x == 42L) System.err.println("") // keep the loop live
-      val f = java.io.File.createTempFile("graft_probe", ".bin",
-        new java.io.File("/tmp"))
-      val ch = java.nio.channels.FileChannel.open(f.toPath,
-        java.nio.file.StandardOpenOption.WRITE)
-      val buf = java.nio.ByteBuffer.allocate(4096)
-      val n = 50
-      val t1 = System.nanoTime()
-      var j = 0
-      while (j < n) { buf.rewind(); ch.write(buf, 0); ch.force(true); j += 1 }
-      val fsyncMs = (System.nanoTime() - t1) / 1e6 / n
-      ch.close(); f.delete()
+      val spin = try {
+        var x = 0x9E3779B97F4A7C15L
+        var i = 0L
+        val t0 = System.nanoTime()
+        while (i < (1L << 28)) {
+          x = java.lang.Long.rotateLeft(x * 0xBF58476D1CE4E5B9L, 31) ^ i
+          i += 1
+        }
+        val s = (System.nanoTime() - t0) / 1e9
+        if (x == 42L) System.err.println("") // keep the loop live
+        s
+      } catch { case _: Throwable => -1.0 }
+      val fsyncMs = try {
+        val f = java.io.File.createTempFile("graft_probe", ".bin",
+          new java.io.File("/tmp"))
+        try {
+          val ch = java.nio.channels.FileChannel.open(f.toPath,
+            java.nio.file.StandardOpenOption.WRITE)
+          try {
+            val buf = java.nio.ByteBuffer.allocate(4096)
+            val n = 50
+            val t1 = System.nanoTime()
+            var j = 0
+            while (j < n) {
+              buf.rewind(); ch.write(buf, 0); ch.force(true); j += 1
+            }
+            (System.nanoTime() - t1) / 1e6 / n
+          } finally ch.close()
+        } finally f.delete()
+      } catch { case _: Throwable => -1.0 }
       (spin, fsyncMs)
     }
     val (preSpin, preFsync) = hostProbe()
     val allPasses = (1 to repeat).map(_ => runPass())
     val (postSpin, postFsync) = hostProbe()
+    // Self-stamp (r16 verdict #1): downstream comparisons auto-exclude
+    // drifted artifacts instead of adjudicating them from prose. Quiet
+    // on this box reads fsync ~0.05 ms; every recorded drift episode
+    // probed fsync ≥0.23 ms — fsync is the discriminating signal (the
+    // r16 driver capture read post_spin near-quiet beside an 11 ms
+    // fsync). NOTE the r17 probe-guard refactor RE-BASED the spin
+    // scale: the guarded loop JITs differently and reads ~0.50 s where
+    // the r15/r16 artifacts recorded ~1.2-2.1 s — spin values across
+    // that boundary are not comparable; the 0.65 default is calibrated
+    // to the new scale (observed 0.48-0.53 on this box incl. IO-drifted
+    // windows, so ≥0.65 means real CPU steal). Thresholds
+    // env-overridable for other hosts; a FAILED probe (-1 sentinel)
+    // stamps drifted — an unlabeled window must never read as quiet.
+    val quietFsyncMs = sys.env.get("SPARK_GRAFT_QUIET_FSYNC_MS")
+      .flatMap(_.toDoubleOption).getOrElse(0.15)
+    val quietSpinS = sys.env.get("SPARK_GRAFT_QUIET_SPIN_S")
+      .flatMap(_.toDoubleOption).getOrElse(0.65)
+    def quiet(spin: Double, fsync: Double): Boolean =
+      spin >= 0 && fsync >= 0 && fsync < quietFsyncMs && spin < quietSpinS
+    val drifted = !(quiet(preSpin, preFsync) && quiet(postSpin, postFsync))
     val results = allPasses.head
     // The harness keeps only the last ~2000 chars of the sbt output (and
     // sbt's own "[success] …" epilogue eats ~80 of them), so the JSON line
@@ -211,13 +247,50 @@ object Bench {
           .mkString("{\n", ",\n", "\n}")
         s""","total_pass${i + 1}":${f3(p.map(_._2).sum)},"queries_pass${i + 1}":$m"""
       }.mkString
+    // Per-query drift normalization (r16 verdict #7): alongside each
+    // absolute, emit its ratio to the committed same-tree noise floor
+    // (per query, the MIN across that artifact's passes — the floor is
+    // the best the tree has done, unlike the SLO's worst-pass-based
+    // threshold). Mover tables then self-label — a uniform 1.3× band
+    // reads as drift, a lone 5× as a real mover — instead of needing
+    // adjudication prose. Floor path overridable; ratios only for the
+    // matching scale dir (a floor captured at sf0.1 says nothing about
+    // an ev100 stage). Guarded: a missing/malformed floor yields no
+    // block, never a lost artifact.
+    val floorPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FLOOR",
+      if (dirName == "sf0.1") "BENCH_NOISE.json" else "")
+    val floorJson: String = try {
+      if (floorPath.isEmpty || !new java.io.File(floorPath).isFile) ""
+      else {
+        val src = scala.io.Source.fromFile(floorPath)
+        // a refreshed floor artifact carries its own "floor" block
+        // (ratios keyed by query name) — strip before the pair scan so
+        // a ratio can never masquerade as a floor seconds value
+        val text = (try src.mkString finally src.close())
+          .replaceAll("(?s)\"floor\":\\{.*", "")
+        val pair = """"([A-Za-z0-9_]+)":\s*([0-9]+(?:\.[0-9]+)?)""".r
+        val floorMin = pair.findAllMatchIn(text).toSeq
+          .map(m => m.group(1) -> m.group(2).toDouble)
+          .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
+        val ratios = results.sortBy(_._1).flatMap { case (k, v) =>
+          floorMin.get(k).filter(_ > 0).map(fl => s"""  "$k": ${f2(v / fl)}""")
+        }
+        val floorTotal = results.flatMap(r => floorMin.get(r._1)).sum
+        if (ratios.isEmpty || floorTotal <= 0) ""
+        else
+          s""",
+             |"floor":{"path":"$floorPath","total_ratio":${f3(total / floorTotal)},
+             |"ratios":${ratios.mkString("{\n", ",\n", "\n}")}}""".stripMargin
+      }
+    } catch { case _: Throwable => "" }
     def writeArtifact(path: String): Unit = {
       val out = new java.io.PrintWriter(path)
       try out.println(
         s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir",
            |"skipped":$skipped,"failed":$failed,
            |"probe":{"pre_spin_s":${f3(preSpin)},"pre_fsync_ms":${f3(preFsync)},"post_spin_s":${f3(postSpin)},"post_fsync_ms":${f3(postFsync)}},
-           |"queries":$full$passesJson}""".stripMargin)
+           |"drifted":$drifted,
+           |"queries":$full$passesJson$floorJson}""".stripMargin)
       finally out.close()
     }
     writeArtifact(s"BENCH_FULL_$dirName.json")

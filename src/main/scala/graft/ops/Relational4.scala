@@ -151,14 +151,7 @@ object Relational4 {
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val fastMapOff =
       spark.conf.get("spark.graft.resample.fastMapOff", "false").toBoolean
-    val s =
-      if (!fastMapOff) spark
-      else {
-        val child = spark.newSession()
-        child.conf.set(
-          "spark.sql.codegen.aggregate.map.twolevel.enabled", "false")
-        child
-      }
+    val s = if (!fastMapOff) spark else scopedSharedMapSession(spark)
     // waves keyed off the summed SOURCE FILE bytes, not
     // optimizedPlan.stats.sizeInBytes (r15 ADVICE): the estimator value
     // shifts with session conf (fileCompressionFactor) and silently
@@ -191,6 +184,43 @@ object Relational4 {
           .otherwise(0L)).as("n_gap_filled"),
         max_by(col("ff"), col("m")).as("final_value"))
       .orderBy("user_id")
+  }
+
+  /** Memoized child session carrying the shared-map flip for
+    * [[qEventResample]] (one per parent session, r16 ADVICE — a fresh
+    * `newSession()` per call builds a new SessionState/catalog each
+    * time, which accumulates under `SPARK_GRAFT_BENCH_REPEAT` or
+    * repeated interactive calls). Weak keys: the cache must not pin a
+    * stopped parent session.
+    *
+    * `newSession()` re-merges SQLConf from the SparkContext conf ONLY,
+    * so caller RUNTIME `conf.set` overrides (session timezone,
+    * shuffle.partitions, AQE flags) would otherwise silently not apply
+    * to the scoped plan (r16 ADVICE). Each call therefore re-syncs the
+    * parent's current runtime confs onto the child — diff-only, so
+    * static confs (identical on both by construction, unsettable at
+    * runtime) are never touched — then re-asserts the flip last.
+    * Residual edge, accepted: a key `set` then `unset` on the parent
+    * between calls lingers on the child (getAll carries no tombstones);
+    * none of this repo's callers unset confs mid-session.
+    */
+  private val scopedSessions =
+    new java.util.WeakHashMap[SparkSession, SparkSession]()
+
+  private def scopedSharedMapSession(parent: SparkSession): SparkSession = {
+    val child = scopedSessions.synchronized {
+      var c = scopedSessions.get(parent)
+      if (c == null) { c = parent.newSession(); scopedSessions.put(parent, c) }
+      c
+    }
+    parent.conf.getAll.foreach { case (k, v) =>
+      if (!child.conf.getOption(k).contains(v))
+        try child.conf.set(k, v)
+        catch { case _: org.apache.spark.sql.AnalysisException => () }
+    }
+    child.conf.set(
+      "spark.sql.codegen.aggregate.map.twolevel.enabled", "false")
+    child
   }
 
   /** Waves of tasks per core for [[qEventResample]]'s pinned exchange:

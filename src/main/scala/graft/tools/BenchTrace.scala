@@ -59,8 +59,13 @@ object BenchTrace {
   private[graft] def parseArtifact(path: String): Map[String, Double] = {
     val text = scala.io.Source.fromFile(path)
     try {
+      // r17 artifacts append a "floor" block whose RATIO entries reuse
+      // query names as keys — strip it before the pair scan, or a
+      // sub-second query's ratio (> its seconds) would win the
+      // worst-pass max and silently loosen that query's SLO threshold
+      val raw = text.mkString.replaceAll("(?s)\"floor\":\\{.*", "")
       val pair = """"([A-Za-z0-9_]+)":\s*([0-9]+(?:\.[0-9]+)?)""".r
-      pair.findAllMatchIn(text.mkString).toSeq
+      pair.findAllMatchIn(raw).toSeq
         .map(m => m.group(1) -> m.group(2).toDouble)
         .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
     } finally text.close()

@@ -57,6 +57,35 @@ class BenchTraceSpec extends AnyFunSuite {
     assert(b("q_y") == 7.0)
   }
 
+  test("floor-ratio block never pollutes the SLO baseline (r17)") {
+    // r17 artifacts append "floor":{"ratios":{...}} whose entries reuse
+    // query names; for a sub-second query the ratio (>1) exceeds its
+    // seconds, so an unstripped scan would take the ratio as the
+    // worst pass and loosen that query's threshold 10x+
+    val f = java.io.File.createTempFile("graft-bench-baseline", ".json")
+    f.deleteOnExit()
+    val w = new java.io.PrintWriter(f)
+    w.println(
+      """{"metric":"total","value":105.0,"unit":"sec","sf":"/tmp/x",
+        |"skipped":[],"failed":[],
+        |"probe":{"pre_spin_s":1.2,"pre_fsync_ms":0.05,"post_spin_s":1.21,"post_fsync_ms":0.06},
+        |"drifted":false,
+        |"queries":{
+        |  "grep": 0.125,
+        |  "q_slow": 9.000
+        |},
+        |"floor":{"path":"BENCH_NOISE.json","total_ratio":1.020,
+        |"ratios":{
+        |  "grep": 1.45,
+        |  "q_slow": 0.98
+        |}}}""".stripMargin)
+    w.close()
+    val b = graft.tools.BenchTrace.parseBaseline(f.getPath)
+    assert(b("grep") == 0.125, "ratio must not win the worst-pass max")
+    assert(b("q_slow") == 9.0)
+    assert(!b.contains("total_ratio"), "floor block stripped entirely")
+  }
+
   test("curated multi-artifact baseline un-blinds the SLO (102s replay)") {
     // The r13 sequence replayed with the committed artifacts' values:
     // the armed artifact (BENCH_FULL_graft_ev100.json) itself carried a

@@ -40,6 +40,10 @@ for i in $(seq "$START" "$N"); do
   fi
   tag=$(printf 's%02d_%s' "$i" "$arm")
   echo "=== $tag start $(date +%H:%M:%S)" >> "$OUT/summary.log"
+  # staleness guard (r16 ADVICE): if a future Bench path ever exits 0
+  # without rewriting the artifact, the PREVIOUS session's file must not
+  # validate and get admitted to the baseline as this session's data
+  rm -f BENCH_FULL_graft_ev100.json
   if SPARK_DRIVER_MEM=32g SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SF_DIR=/tmp/graft_ev100 \
     SPARK_GRAFT_BENCH_REPEAT=2 SPARK_GRAFT_BENCH_TRACE=1 \
     SPARK_GRAFT_BENCH_BASELINE="$BASE" \
