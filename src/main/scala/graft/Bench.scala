@@ -263,24 +263,9 @@ object Bench {
       if (floorPath.isEmpty || !new java.io.File(floorPath).isFile) ""
       else {
         val src = scala.io.Source.fromFile(floorPath)
-        // a refreshed floor artifact carries its own "floor" block
-        // (ratios keyed by query name) — strip before the pair scan so
-        // a ratio can never masquerade as a floor seconds value
-        val text = (try src.mkString finally src.close())
-          .replaceAll("(?s)\"floor\":\\{.*", "")
-        val pair = """"([A-Za-z0-9_]+)":\s*([0-9]+(?:\.[0-9]+)?)""".r
-        val floorMin = pair.findAllMatchIn(text).toSeq
-          .map(m => m.group(1) -> m.group(2).toDouble)
-          .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
-        val ratios = results.sortBy(_._1).flatMap { case (k, v) =>
-          floorMin.get(k).filter(_ > 0).map(fl => s"""  "$k": ${f2(v / fl)}""")
-        }
-        val floorTotal = results.flatMap(r => floorMin.get(r._1)).sum
-        if (ratios.isEmpty || floorTotal <= 0) ""
-        else
-          s""",
-             |"floor":{"path":"$floorPath","total_ratio":${f3(total / floorTotal)},
-             |"ratios":${ratios.mkString("{\n", ",\n", "\n}")}}""".stripMargin
+        val text = try src.mkString finally src.close()
+        graft.tools.BenchFloor.block(floorPath, text, results, total)
+          .getOrElse("")
       }
     } catch { case _: Throwable => "" }
     def writeArtifact(path: String): Unit = {

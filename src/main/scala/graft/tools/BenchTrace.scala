@@ -63,7 +63,7 @@ object BenchTrace {
       // query names as keys — strip it before the pair scan, or a
       // sub-second query's ratio (> its seconds) would win the
       // worst-pass max and silently loosen that query's SLO threshold
-      val raw = text.mkString.replaceAll("(?s)\"floor\":\\{.*", "")
+      val raw = BenchFloor.stripFloorBlock(text.mkString)
       val pair = """"([A-Za-z0-9_]+)":\s*([0-9]+(?:\.[0-9]+)?)""".r
       pair.findAllMatchIn(raw).toSeq
         .map(m => m.group(1) -> m.group(2).toDouble)
