@@ -161,16 +161,15 @@ object Bench {
     // Self-stamp (r16 verdict #1): downstream comparisons auto-exclude
     // drifted artifacts instead of adjudicating them from prose. Quiet
     // on this box reads fsync ~0.05 ms; every recorded drift episode
-    // probed fsync ≥0.23 ms — fsync is the discriminating signal (the
-    // r16 driver capture read post_spin near-quiet beside an 11 ms
-    // fsync). NOTE the r17 probe-guard refactor RE-BASED the spin
-    // scale: the guarded loop JITs differently and reads ~0.50 s where
-    // the r15/r16 artifacts recorded ~1.2-2.1 s — spin values across
-    // that boundary are not comparable; the 0.65 default is calibrated
-    // to the new scale (observed 0.48-0.53 on this box incl. IO-drifted
-    // windows, so ≥0.65 means real CPU steal). Thresholds
-    // env-overridable for other hosts; a FAILED probe (-1 sentinel)
-    // stamps drifted — an unlabeled window must never read as quiet.
+    // probed fsync ≥0.23 ms — fsync is the discriminating signal. The
+    // spin's baseline is ~0.48 s (the r16 campaign's 20 artifacts read
+    // 0.46-0.65 across quiet AND io-drifted windows — the "~1.2 s
+    // quiet" once quoted in SCALE.md was itself a steal reading, as
+    // were the 1.27-2.06 s spins in the r15/r16 official captures), so
+    // the 0.65 default means "any spin above the campaign range is
+    // real CPU steal". Thresholds env-overridable for other hosts; a
+    // FAILED probe (-1 sentinel) stamps drifted — an unlabeled window
+    // must never read as quiet.
     val quietFsyncMs = sys.env.get("SPARK_GRAFT_QUIET_FSYNC_MS")
       .flatMap(_.toDoubleOption).getOrElse(0.15)
     val quietSpinS = sys.env.get("SPARK_GRAFT_QUIET_SPIN_S")
