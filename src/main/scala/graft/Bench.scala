@@ -247,15 +247,18 @@ object Bench {
         s""","total_pass${i + 1}":${f3(p.map(_._2).sum)},"queries_pass${i + 1}":$m"""
       }.mkString
     // Per-query drift normalization (r16 verdict #7): alongside each
-    // absolute, emit its ratio to the committed same-tree noise floor
-    // (per query, the MIN across that artifact's passes — the floor is
-    // the best the tree has done, unlike the SLO's worst-pass-based
-    // threshold). Mover tables then self-label — a uniform 1.3× band
-    // reads as drift, a lone 5× as a real mover — instead of needing
-    // adjudication prose. Floor path overridable; ratios only for the
-    // matching scale dir (a floor captured at sf0.1 says nothing about
-    // an ev100 stage). Guarded: a missing/malformed floor yields no
-    // block, never a lost artifact.
+    // absolute, emit its ratio to the committed same-tree noise floor.
+    // BOTH sides are per-query minima across their artifact's passes —
+    // steady state vs steady state. Pass-1-vs-floor-min was tried
+    // first and produced false movers: warm-state queries (q_bpe_apply
+    // memoizes its merge table: p1 4.2 s, p2/p3 0.4-0.6 s, same shape
+    // in the floor) read 12x on pass 1 while their steady-state ratio
+    // sat at 1.2, inside the drift band. Mover tables then self-label
+    // — a uniform 1.3× band reads as drift, a lone 5× as a real mover
+    // — instead of needing adjudication prose. Floor path overridable;
+    // ratios only for the matching scale dir (a floor captured at
+    // sf0.1 says nothing about an ev100 stage). Guarded: a missing/
+    // malformed floor yields no block, never a lost artifact.
     val floorPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FLOOR",
       if (dirName == "sf0.1") "BENCH_NOISE.json" else "")
     val floorJson: String = try {
@@ -263,7 +266,10 @@ object Bench {
       else {
         val src = scala.io.Source.fromFile(floorPath)
         val text = try src.mkString finally src.close()
-        graft.tools.BenchFloor.block(floorPath, text, results, total)
+        val bestByQuery = allPasses.flatten.groupBy(_._1)
+          .map { case (k, vs) => k -> vs.map(_._2).min }.toSeq
+        graft.tools.BenchFloor
+          .block(floorPath, text, bestByQuery, bestByQuery.map(_._2).sum)
           .getOrElse("")
       }
     } catch { case _: Throwable => "" }

@@ -46,9 +46,13 @@ object BenchFloor {
   /** The `"floor"` artifact block (leading comma included), or None if
     * the floor shares no queries with `results` or totals to zero —
     * an absent block is honest; a ratio against nothing is not.
-    * `total` is the pass's full total (it may cover queries the floor
-    * lacks); `total_ratio` compares it to the floor summed over the
-    * INTERSECTION, so a query new to this tree inflates the ratio
+    * `results` should be the artifact's own per-query minima across
+    * its passes (steady state vs the floor's steady state — pass-1
+    * ratios false-flag warm-state queries like the BPE apply's
+    * memoized merge table at 12× when their steady ratio is 1.2).
+    * `total` covers ALL of `results` (it may include queries the
+    * floor lacks); `total_ratio` compares it to the floor summed over
+    * the INTERSECTION, so a query new to this tree inflates the ratio
     * visibly rather than vanishing from the denominator silently.
     */
   def block(floorPath: String, floorText: String,
