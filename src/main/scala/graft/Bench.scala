@@ -177,6 +177,19 @@ object Bench {
     def quiet(spin: Double, fsync: Double): Boolean =
       spin >= 0 && fsync >= 0 && fsync < quietFsyncMs && spin < quietSpinS
     val drifted = !(quiet(preSpin, preFsync) && quiet(postSpin, postFsync))
+    // Tree provenance for the floor min-merge (tools/floor_merge.py):
+    // the noise floor is the per-query min over every valid SAME-TREE
+    // capture, so each artifact records the git head it ran on and the
+    // merge tool refuses a head mismatch. Outside the timed windows;
+    // guarded like the probes — a missing git never costs the artifact.
+    val gitHead: String = try {
+      val p = new ProcessBuilder("git", "rev-parse", "--short", "HEAD")
+        .redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      if (p.waitFor() == 0 && out.nonEmpty && !out.contains("\n")) out
+      else "unknown"
+    } catch { case _: Throwable => "unknown" }
     val results = allPasses.head
     // The harness keeps only the last ~2000 chars of the sbt output (and
     // sbt's own "[success] …" epilogue eats ~80 of them), so the JSON line
@@ -279,7 +292,7 @@ object Bench {
         s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir",
            |"skipped":$skipped,"failed":$failed,
            |"probe":{"pre_spin_s":${f3(preSpin)},"pre_fsync_ms":${f3(preFsync)},"post_spin_s":${f3(postSpin)},"post_fsync_ms":${f3(postFsync)}},
-           |"drifted":$drifted,
+           |"drifted":$drifted,"git_head":"$gitHead",
            |"queries":$full$passesJson$floorJson}""".stripMargin)
       finally out.close()
     }

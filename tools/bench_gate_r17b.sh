@@ -24,9 +24,15 @@
 #    minutes after phase A's 168/133/132 s — it was only kept out of
 #    the tree by manual adjudication).
 #
-# 3. Floor policy unchanged: BENCH_NOISE.json is replaced ONLY by a
-#    capture whose own stamp reads quiet. A drifted floor would ratchet
-#    the baseline up and flatter every later capture.
+# 3. Floor policy: every valid sf0.1 capture MIN-MERGES into
+#    BENCH_NOISE.json (tools/floor_merge.py) — the floor is the
+#    per-query minimum over all same-tree captures, which a merge can
+#    only LOWER (host churn inflates wall-clock, never deflates it, so
+#    a fast reading is genuine tree performance whatever the capture's
+#    overall stamp). This replaced the original quiet-only-replace
+#    policy after an ambient drifted capture ran pass-3 at 89.2 s,
+#    0.84x the standing "floor" — a floor a drifted run can beat is
+#    not a floor. Ratcheting UP remains impossible by construction.
 #
 # Usage: nohup tools/bench_gate_r17b.sh > forensics/gate_r17b/nohup.log 2>&1 &
 set -u
@@ -88,6 +94,15 @@ run_bench() {
      && [ -f "$artifact" ] && grep -q '"failed":\[\]' "$artifact"; then
     cp "$artifact" "$OUT/$tag.json"
     log "$tag: bench done, $(grep -o '"drifted":[a-z]*' "$artifact"), $(grep -o '"value":[0-9.]*' "$artifact" | head -1)"
+    if [ "$artifact" = BENCH_FULL.json ]; then
+      # GATE_FLOOR_CROSS_TREE=1 passes --allow-cross-tree: set it only
+      # when every commit since the floor's stamped head is known to be
+      # timed-path-neutral (docs/tools/artifacts). merged_from records
+      # each capture's true head either way, so the merge is auditable.
+      python3 tools/floor_merge.py BENCH_NOISE.json "$OUT/$tag.json" \
+        ${GATE_FLOOR_CROSS_TREE:+--allow-cross-tree} >> "$OUT/gate.log" 2>&1 \
+        || log "$tag: floor merge REFUSED (head mismatch?) — floor unchanged"
+    fi
     return 0
   fi
   log "$tag: bench INVALID (abort or failed queries) — see $OUT/$tag.log"
@@ -107,7 +122,10 @@ print(min(v for v in vals if isinstance(v, (int, float))))
 EOF
 }
 
-# ---- Phase A: refresh the noise floor (quiet capture only) -----------
+# ---- Phase A: floor-feeding capture -----------------------------------
+# The floor min-merge happens inside run_bench for every valid sf0.1
+# capture; phase A exists to land at least one capture into the merge
+# (quiet-gated while the deadline allows) and to keep-best the official.
 attempt=0
 floor_done=0
 while [ "$floor_done" -eq 0 ]; do
@@ -116,18 +134,12 @@ while [ "$floor_done" -eq 0 ]; do
   tag=$(printf 'A%02d_floor' "$attempt")
   cp BENCH_FULL.json "$OUT/BENCH_FULL.committed.json" 2>/dev/null || true
   if run_bench "$tag" /root/testdata/sf0.1 3 BENCH_FULL.json; then
-    if artifact_quiet BENCH_FULL.json; then
-      cp BENCH_FULL.json BENCH_NOISE.json
-      log "phase A: floor REFRESHED (quiet, probe-backed)"
+    if artifact_quiet BENCH_FULL.json || [ "$gated" -eq 1 ]; then
       floor_done=1
-    elif [ "$gated" -eq 1 ]; then
-      log "phase A: deadline + drifted — keeping the standing floor, attempt saved"
-      floor_done=1   # do NOT replace the floor with a drifted capture
     else
       log "phase A: window closed mid-run (drifted stamp) — retrying"
     fi
-    # Whatever phase A decided about the FLOOR, the capture also
-    # competes for the official slot under the keep-best rule below.
+    # The capture also competes for the official slot (keep-best).
     if artifact_quiet BENCH_FULL.json \
        || { ! artifact_quiet "$OUT/BENCH_FULL.committed.json" 2>/dev/null \
             && python3 -c "import sys; sys.exit(0 if float('$(min_total BENCH_FULL.json)') < float('$(min_total "$OUT/BENCH_FULL.committed.json")') else 1)"; }; then

@@ -14,6 +14,11 @@ Reference points on this box (see SCALE.md):
 
 The python spin is not comparable to the JVM spin in the artifact
 (different codegen); compare python-spin to python-spin across runs.
+Calibration (r17 continuation): python spin ~2.2 s at 2^24 big-int
+iterations IS this box's quiet python baseline — measured in the same
+minute as the JVM probe (tools/HostProbeJvm.java) reading its 0.48 s
+quiet baseline. A 2.2 s python spin means NOTHING about CPU steal;
+gate on the JVM probe, whose thresholds match the artifact stamp.
 """
 import os, sys, tempfile, time
 
