@@ -37,7 +37,7 @@
 # Usage: nohup tools/bench_gate_r17b.sh > forensics/gate_r17b/nohup.log 2>&1 &
 set -u
 cd "$(dirname "$0")/.."
-OUT=forensics/gate_r17b
+OUT=${GATE_OUT:-forensics/gate_r17b}
 mkdir -p "$OUT"
 GATE_FSYNC_MS=${GATE_FSYNC_MS:-0.15}
 GATE_SPIN_S=${GATE_SPIN_S:-0.65}
