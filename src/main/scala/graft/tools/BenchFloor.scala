@@ -16,13 +16,6 @@ package graft.tools
   */
 object BenchFloor {
 
-  /** Per-query floor: min across every pass map in the artifact text.
-    * The floor artifact may itself carry a `"floor"` block from the
-    * run that produced it (ratios keyed by query name) — stripped
-    * first, or a ratio below the query's seconds would masquerade as
-    * the floor value. Non-query keys (probe fields, totals) parse too
-    * but are only ever looked up by query name.
-    */
   /** Drops the artifact's trailing `"floor"` block — shared by this
     * parser and [[BenchTrace.parseArtifact]] so the two can't diverge
     * on what "the floor block" is.
@@ -30,18 +23,50 @@ object BenchFloor {
   private[tools] def stripFloorBlock(text: String): String =
     text.replaceAll("(?s)\"floor\":\\{.*", "")
 
-  def floorMin(floorText: String): Map[String, Double] = {
-    val stripped = stripFloorBlock(floorText)
+  /** Every `"name": seconds` pair found inside the artifact's
+    * `"queries"` / `"queries_passN"` maps, floor block stripped first.
+    * Key-allowlisted (r17 verdict item #5): the old flat scan accepted
+    * ANY numeric pair in the artifact — probe fields, totals,
+    * `merged_from` provenance — and while lookups were by query name
+    * only, a future artifact field that collided with a query name
+    * would have silently corrupted that query's floor/SLO entry. Only
+    * the query maps are measurement; only they parse. The query maps
+    * are flat (Bench writes one level of braces), so the non-greedy
+    * body match can't swallow a sibling map. Integer-formatted values
+    * parse too (r13 ADVICE — a `"q_x": 12` entry must not be dropped).
+    */
+  private[tools] def queryPairs(text: String): Seq[(String, Double)] = {
+    val stripped = stripFloorBlock(text)
+    val mapBlock = """"queries(?:_pass\d+)?":\s*\{([^}]*)\}""".r
     val pair = """"([A-Za-z0-9_]+)":\s*([0-9]+(?:\.[0-9]+)?)""".r
-    pair.findAllMatchIn(stripped).toSeq
-      .map(m => m.group(1) -> m.group(2).toDouble)
-      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
+    mapBlock.findAllMatchIn(stripped).toSeq.flatMap { m =>
+      pair.findAllMatchIn(m.group(1)).map(p =>
+        p.group(1) -> p.group(2).toDouble)
+    }
   }
+
+  /** Per-query floor: min across every pass map in the artifact text. */
+  def floorMin(floorText: String): Map[String, Double] =
+    queryPairs(floorText)
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
 
   private def f2(v: Double): String =
     "%.2f".formatLocal(java.util.Locale.ROOT, v)
   private def f3(v: Double): String =
     "%.3f".formatLocal(java.util.Locale.ROOT, v)
+
+  /** Caveat stamped into single-pass floor blocks (r17 verdict #3): a
+    * REPEAT=1 artifact's "min across passes" IS pass 1, which pays JIT,
+    * cache and memoization warmup — q_bpe_apply read 8.58× the floor in
+    * the single-pass r17 driver capture while its REPEAT=3 steady-state
+    * ratio sat at ≤1.25. The block still prints (the trend is useful),
+    * but it self-labels so a reader never mistakes pass-1-vs-floor for
+    * steady-state-vs-floor.
+    */
+  val SinglePassCaveat: String =
+    "single pass: ratios are pass-1 vs the floor's steady-state min; " +
+      "warm-state queries (memoized BPE table, cache-warm scans) " +
+      "false-flag -- compare REPEAT>=2 captures for movers"
 
   /** The `"floor"` artifact block (leading comma included), or None if
     * the floor shares no queries with `results` or totals to zero —
@@ -54,18 +79,33 @@ object BenchFloor {
     * floor lacks); `total_ratio` compares it to the floor summed over
     * the INTERSECTION, so a query new to this tree inflates the ratio
     * visibly rather than vanishing from the denominator silently.
+    *
+    * `passes` is the artifact's REPEAT count — stamped so a
+    * single-pass block self-labels (see [[SinglePassCaveat]]).
+    * `floorSha` is the sha256 (12 hex) of the floor FILE the ratios
+    * divide by (r17 ADVICE): the gate min-merges each capture into
+    * `BENCH_NOISE.json` right after writing the artifact, so the
+    * committed artifact's block is otherwise computed against a floor
+    * that no longer exists on disk — the sha makes the pairing
+    * auditable and staleness mechanically detectable
+    * (tools/bench_artifact.py restamp re-emits the block against the
+    * merged floor).
     */
   def block(floorPath: String, floorText: String,
-      results: Seq[(String, Double)], total: Double): Option[String] = {
+      results: Seq[(String, Double)], total: Double,
+      passes: Int, floorSha: String): Option[String] = {
     val fm = floorMin(floorText)
     val ratios = results.sortBy(_._1).flatMap { case (k, v) =>
       fm.get(k).filter(_ > 0).map(fl => s"""  "$k": ${f2(v / fl)}""")
     }
     val floorTotal = results.flatMap(r => fm.get(r._1).filter(_ > 0)).sum
+    val caveat =
+      if (passes <= 1) s""""caveat":"$SinglePassCaveat",""" + "\n" else ""
     if (ratios.isEmpty || floorTotal <= 0) None
     else Some(
       s""",
-         |"floor":{"path":"$floorPath","total_ratio":${f3(total / floorTotal)},
+         |"floor":{"path":"$floorPath","sha256":"$floorSha","passes":$passes,
+         |$caveat"total_ratio":${f3(total / floorTotal)},
          |"ratios":${ratios.mkString("{\n", ",\n", "\n}")}}""".stripMargin)
   }
 }

@@ -44,31 +44,23 @@ object BenchTrace {
   private var baseline: Map[String, Double] = Map.empty
   @volatile private var currentThresholdSec: Double = 30.0
 
-  /** Every `"name": 1.234` pair in ONE BENCH_FULL artifact, keeping the
+  /** Every query's seconds in ONE BENCH_FULL artifact, keeping the
     * WORST (max) value when a key repeats across `queries_passN` maps —
     * conservative under same-JVM pass spread, and deliberately NOT a
     * per-artifact min: staging/memoization asymmetry is real pass-1 cost
     * (q_bpe_apply runs 12.3 s staging-inclusive vs 1.3 s memoized at
     * combo100 — a within-artifact min would flag it every session).
-    * Top-level artifact keys ("metric", "value", …) can never collide
-    * with gate query names, so a flat scan of the file is sufficient.
-    * Integer-formatted values parse too (r13 ADVICE: the old regex
-    * required a fractional part, so a `"q_x": 12` entry was silently
-    * dropped and that query's SLO quietly disarmed).
+    * Parsing is [[BenchFloor.queryPairs]] — key-allowlisted to the
+    * `"queries"`/`"queries_passN"` maps with the floor block stripped
+    * first (r17 verdict #5: the old flat scan accepted any numeric
+    * pair in the artifact), shared with the floor parser so the two
+    * can't diverge on what counts as a measurement.
     */
   private[graft] def parseArtifact(path: String): Map[String, Double] = {
     val text = scala.io.Source.fromFile(path)
-    try {
-      // r17 artifacts append a "floor" block whose RATIO entries reuse
-      // query names as keys — strip it before the pair scan, or a
-      // sub-second query's ratio (> its seconds) would win the
-      // worst-pass max and silently loosen that query's SLO threshold
-      val raw = BenchFloor.stripFloorBlock(text.mkString)
-      val pair = """"([A-Za-z0-9_]+)":\s*([0-9]+(?:\.[0-9]+)?)""".r
-      pair.findAllMatchIn(raw).toSeq
-        .map(m => m.group(1) -> m.group(2).toDouble)
-        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
-    } finally text.close()
+    try BenchFloor.queryPairs(text.mkString)
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+    finally text.close()
   }
 
   /** Curated baseline over SEVERAL artifacts (r13 verdict directive 2):

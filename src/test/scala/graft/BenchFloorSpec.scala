@@ -24,15 +24,19 @@ class BenchFloorSpec extends AnyFunSuite {
       |  "q_slow": 12.000
       |}}""".stripMargin
 
+  private def block(floorText: String, results: Seq[(String, Double)],
+      total: Double, passes: Int = 3): Option[String] =
+    BenchFloor.block("BENCH_NOISE.json", floorText, results, total,
+      passes, "abc123def456")
+
   test("floor is the min across passes, ratios divide by it") {
     val res = Seq("grep" -> 0.25, "q_slow" -> 10.0)
-    val block = BenchFloor.block("BENCH_NOISE.json", floorArtifact, res, 10.25)
-    assert(block.isDefined)
-    val b = block.get
-    assert(b.contains(""""grep": 2.00"""), s"0.25/0.125 = 2.00:\n$b")
-    assert(b.contains(""""q_slow": 1.00"""), "10.0/min(10,12) = 1.00")
+    val b = block(floorArtifact, res, 10.25)
+    assert(b.isDefined)
+    assert(b.get.contains(""""grep": 2.00"""), s"0.25/0.125 = 2.00:\n${b.get}")
+    assert(b.get.contains(""""q_slow": 1.00"""), "10.0/min(10,12) = 1.00")
     // total 10.25 vs intersection floor 0.125+10.0 = 10.125
-    assert(b.contains(""""total_ratio":1.012"""), b)
+    assert(b.get.contains(""""total_ratio":1.012"""), b.get)
   }
 
   test("a floor artifact's own floor block is stripped before parsing") {
@@ -54,9 +58,30 @@ class BenchFloorSpec extends AnyFunSuite {
     assert(!fm.contains("total_ratio"))
   }
 
+  test("parse is key-allowlisted: only queries/queries_passN maps count") {
+    // r17 verdict #5: the old flat scan parsed EVERY numeric pair in
+    // the artifact. A top-level field (or a provenance sub-object
+    // field, as in BENCH_NOISE.json's merged_from) that collides with
+    // a query name must not become that query's floor.
+    val colliding =
+      """{"metric":"total","value":50.0,
+        |"grep": 0.001,
+        |"merged_from":[{"path":"x.json","grep": 0.002,"pass_totals":[1.0]}],
+        |"probe":{"pre_spin_s":0.50,"pre_fsync_ms":0.05},
+        |"queries":{
+        |  "grep": 0.150,
+        |  "q_slow": 10.000
+        |}}""".stripMargin
+    val fm = BenchFloor.floorMin(colliding)
+    assert(fm("grep") == 0.150,
+      "top-level/provenance collisions must not undercut the floor")
+    assert(fm("q_slow") == 10.0)
+    assert(!fm.contains("value"), "totals are not queries")
+    assert(!fm.contains("pre_spin_s"), "probe fields are not queries")
+  }
+
   test("no shared queries -> no block (absent is honest)") {
-    assert(BenchFloor.block("f.json", floorArtifact,
-      Seq("q_new_lane" -> 3.0), 3.0).isEmpty)
+    assert(block(floorArtifact, Seq("q_new_lane" -> 3.0), 3.0).isEmpty)
   }
 
   test("queries missing from the floor inflate total_ratio visibly") {
@@ -64,7 +89,7 @@ class BenchFloorSpec extends AnyFunSuite {
     // numerator total but not the intersection denominator — the
     // total_ratio rises instead of the query silently vanishing
     val res = Seq("grep" -> 0.125, "q_brand_new" -> 5.0)
-    val b = BenchFloor.block("f.json", floorArtifact, res, 5.125).get
+    val b = block(floorArtifact, res, 5.125).get
     assert(b.contains(""""total_ratio":41.000"""), b)
     assert(!b.contains("q_brand_new"), "no per-query ratio without a floor")
   }
@@ -75,9 +100,27 @@ class BenchFloorSpec extends AnyFunSuite {
         |  "grep": 0.000,
         |  "q_slow": 10.000
         |}}""".stripMargin
-    val b = BenchFloor.block("f.json", zeroFloor,
-      Seq("grep" -> 0.2, "q_slow" -> 10.0), 10.2).get
+    val b = block(zeroFloor, Seq("grep" -> 0.2, "q_slow" -> 10.0), 10.2).get
     assert(!b.contains(""""grep""""), "zero floor must not produce a ratio")
     assert(b.contains(""""q_slow": 1.00"""))
+  }
+
+  test("block stamps passes and the floor file's sha") {
+    val b = block(floorArtifact, Seq("grep" -> 0.25), 0.25, passes = 3).get
+    assert(b.contains(""""passes":3"""), b)
+    assert(b.contains(""""sha256":"abc123def456""""), b)
+    assert(!b.contains(""""caveat""""),
+      "multi-pass blocks are steady-state — no caveat")
+  }
+
+  test("single-pass blocks self-label with the warm-state caveat") {
+    // r17 verdict #3: a REPEAT=1 capture's min IS pass 1, which pays
+    // warmup (q_bpe_apply read 8.58x in the single-pass driver capture
+    // vs <=1.25 steady) — the block must say so rather than present
+    // pass-1-vs-floor as steady-state-vs-floor
+    val b = block(floorArtifact, Seq("grep" -> 0.25), 0.25, passes = 1).get
+    assert(b.contains(""""passes":1"""), b)
+    assert(b.contains(""""caveat":""""), b)
+    assert(b.contains("single pass"), b)
   }
 }

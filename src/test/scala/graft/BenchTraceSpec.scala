@@ -26,9 +26,9 @@ class BenchTraceSpec extends AnyFunSuite {
     val b = graft.tools.BenchTrace.parseBaseline(f.getPath)
     assert(b("q_event_resample") == 6.7, "max across passes wins")
     assert(b("q_tfidf_top") == 8.0)
-    // top-level artifact numbers parse too but can never shadow a gate
-    // query name; sanity-pin they arrive as themselves
-    assert(b("value") == 603.4)
+    // key-allowlisted parse (r17 verdict #5): top-level artifact
+    // numbers are NOT measurements and must not arrive at all
+    assert(!b.contains("value"))
     assert(!b.contains("q_dedup_jaccard"), "skip-list strings are not pairs")
   }
 

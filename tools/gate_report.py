@@ -37,7 +37,9 @@ def load(path):
 
 def probe_line(d):
     p = d.get("probe", {})
-    return (f"drifted={d.get('drifted', '?')} "
+    state = d.get("host_state") or (
+        "quiet" if d.get("drifted") is False else "drifted(bool)")
+    return (f"host_state={state} "
             f"fsync {p.get('pre_fsync_ms', '?')}->{p.get('post_fsync_ms', '?')} ms, "
             f"spin {p.get('pre_spin_s', '?')}->{p.get('post_spin_s', '?')} s")
 
@@ -74,7 +76,10 @@ def report_official(official, floor):
         return
     vals = sorted(ratios.values())
     inter_floor = sum(fl[q] for q in qs if fl.get(q, 0) > 0)
-    print(f"  pass totals: {['%.1f' % t for t in pass_totals(official)]} s "
+    totals = pass_totals(official)
+    print(f"  pass totals: {['%.1f' % t for t in totals]} s "
+          f"(median {statistics.median(totals):.1f} — the representative "
+          f"official statistic) "
           f"vs floor pass-min total {sum(fl[q] for q in qs if q in fl):.1f} s")
     print(f"  total_ratio (own steady total / intersection floor): "
           f"{sum(qs.values()) / inter_floor:.3f}")
