@@ -142,6 +142,7 @@ keep_best() {
 # ---- Sweep: capture, merge, keep-best ---------------------------------
 valid=0
 attempt=0
+official_changed=0
 while [ "$valid" -lt "$SWEEP_ATTEMPTS" ]; do
   attempt=$((attempt + 1))
   wait_window; gated=$?
@@ -150,6 +151,7 @@ while [ "$valid" -lt "$SWEEP_ATTEMPTS" ]; do
   if run_bench "$tag" /root/testdata/sf0.1 3 BENCH_FULL.json; then
     valid=$((valid + 1))
     if keep_best "$OUT/BENCH_FULL.incumbent.json" BENCH_FULL.json; then
+      official_changed=1
       log "$tag: kept as official (state=$(state_of BENCH_FULL.json), median=$(median_of BENCH_FULL.json))"
     else
       cp "$OUT/BENCH_FULL.incumbent.json" BENCH_FULL.json
@@ -177,9 +179,15 @@ if [ -f BENCH_FULL.json ]; then
   python3 tools/bench_artifact.py restamp-floor --floor BENCH_NOISE.json \
     BENCH_FULL.json >> "$OUT/gate.log" 2>&1 \
     && log "official floor block restamped against merged BENCH_NOISE.json"
-  python3 tools/bench_artifact.py label BENCH_FULL.json gate_selection \
-    "best-of-$valid-capture sweep by state rank (quiet>ambient>drifted) then median pass total; floor block restamped post-merge" \
-    >> "$OUT/gate.log" 2>&1
+  # Only (re)label the selection when a challenger actually won this
+  # run — a retained incumbent keeps the label of the sweep that
+  # selected it (relabeling it with THIS run's smaller count would
+  # misstate the official's construction).
+  if [ "$official_changed" -eq 1 ]; then
+    python3 tools/bench_artifact.py label BENCH_FULL.json gate_selection \
+      "best-of-$valid-capture sweep by state rank (quiet>ambient>drifted) then median pass total; floor block restamped post-merge" \
+      >> "$OUT/gate.log" 2>&1
+  fi
   cp BENCH_FULL.json BENCH_FULL_sf0.1.json
 fi
 
