@@ -73,20 +73,34 @@ object Graph {
     def pin(df: DataFrame): DataFrame =
       if (reliableCheckpoint) df.checkpoint()
       else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val edges = pin(edgesIn.select(col("src"), col("dst")))
-    val deg = pin(edges.groupBy(col("src").as("node"))
+    val edgesRaw = pin(edgesIn.select(col("src"), col("dst")))
+    val deg = pin(edgesRaw.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("d")))
     val n = deg.count()
+    // Pre-attach each edge's SOURCE DEGREE to the pinned edge list (the
+    // classic out-degree-on-edge Pregel layout, one join at setup): the
+    // per-iteration r⋈deg join disappears — each iteration is now just
+    // edges ⋈ broadcast(ranks) + one aggregate exchange, which removes
+    // one join + its exchange/broadcast build from EVERY iteration
+    // (r18 optimization; guide §2.4 "remove shuffles outright").
+    // Numerically identical by construction: w = r/d divides the same
+    // doubles per edge as the old per-node division, and the DECIMAL
+    // summation is order-free. The degree side follows the ranks knob
+    // (deg is O(nodes), same scale bound as the rank broadcast).
+    val degSide = if (broadcastRanks) broadcast(deg) else deg.hint("shuffle_hash")
+    val edges = pin(edgesRaw.join(degSide, edgesRaw("src") === deg("node"))
+      .select(col("src"), col("dst"), col("d")))
+    edges.count() // materialize before releasing the raw pin
+    Checkpoints.release(edgesRaw)
     val base = 0.15 / n // same IEEE division the oracle performs
     var r = deg.select(col("node"), lit(1.0 / n).as("r"))
     for (_ <- 1 to iters) {
-      val w0 = r.join(deg, "node")
-        .select(col("node"), (col("r") / col("d").cast("double")).as("w"))
-      val w = if (broadcastRanks) broadcast(w0) else w0.hint("shuffle_hash")
+      val w = if (broadcastRanks) broadcast(r) else r.hint("shuffle_hash")
       r = edges.join(w, edges("src") === w("node"))
         .groupBy(col("dst").as("node"))
         .agg((lit(base) + lit(0.85) *
-          sum(col("w").cast(DecimalType(38, 18))).cast("double")).as("r"))
+          sum((col("r") / col("d").cast("double")).cast(DecimalType(38, 18)))
+            .cast("double")).as("r"))
     }
     (r.withColumn("n_nodes", lit(n)), Seq(edges, deg))
   }

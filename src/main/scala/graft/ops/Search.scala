@@ -120,13 +120,13 @@ object Search {
 
   /** BM25 top-10 ranking of the corpus for a fixed term set — the
     * full-text retrieval scorer (Robertson/Sparck Jones; the "+1" IDF of
-    * Lucene so scores stay positive). tf comes from a token explode
-    * FILTERED to the query terms before the groupBy (the filter pushes
-    * below the shuffle: only matching tokens ever leave the scan stage);
-    * df is |terms| rows and broadcast; doc length joins on doc_id
-    * co-partitioned with tf; N/avgdl is a 1-row broadcast. Final top-k is
-    * orderBy+limit → TakeOrderedAndProject (per-partition heap + driver
-    * merge of k rows, never a global sort).
+    * Lucene so scores stay positive). One tokenize pass: per-term tf
+    * rides the SAME groupBy(doc_id) that counts doc length (conditional
+    * aggregation over the small literal term set), corpus stats and
+    * per-term df come out of one 1-row broadcast aggregate — see
+    * [[bm25Of]] for the shape. Final top-k is orderBy+limit →
+    * TakeOrderedAndProject (per-partition heap + driver merge of k rows,
+    * never a global sort).
     *
     * Both engines compute the score with the same expression tree over
     * the same exact integers (tf, df, dl, N), rounded to 6 decimals
@@ -137,41 +137,58 @@ object Search {
   def qBm25Search(spark: SparkSession, dir: String): DataFrame =
     bm25Of(Tables.documentsSpread(spark, dir), bm25Terms, 10)
 
-  /** Same operator over any (doc_id, text, ...) frame. */
+  /** Same operator over any (doc_id, text, ...) frame.
+    *
+    * Single-pass shape (r18 optimization; guide §2.3 "aggregate before
+    * you shuffle" / §2.4 "remove shuffles outright"): the old plan
+    * tokenized the corpus twice (a dl branch and a term-filtered tf
+    * branch — different subtrees, so the exchange could not be reused)
+    * and re-joined tf⋈df⋈dl. Because the query's term set is a small
+    * literal list, per-term tf is CONDITIONAL AGGREGATION in the same
+    * groupBy(doc_id) that counts dl — one tokenize pass, one map-side-
+    * combined exchange, no doc-scale join at all. The corpus stats
+    * (N, avgdl) AND every per-term df come out of one 1-row aggregate
+    * over the per-doc frame (its exchange is reused for the scoring
+    * read), broadcast back. tf/df/dl/N are the identical integers the
+    * old plan produced and the score expression tree is unchanged per
+    * term, so scores are bit-equal; zero-tf terms contribute an exact
+    * +0.0. At 100 TB this halves the token-stream scans and removes the
+    * tf⋈dl shuffle the old plan pinned shuffle_hash (nothing left to
+    * pin — the only join is the 1-row stats broadcast).
+    */
   def bm25Of(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
     val toks = docs
       .select(col("doc_id"),
         explode(split(lower(col("text")), " ", -1)).as("w"))
       .filter(col("w") =!= "")
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n"),
-      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-    val tf = toks.filter(col("w").isin(terms: _*))
-      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
-    // the limit is a no-op (grouping a |terms|-filtered column yields at
-    // most |terms| rows) that makes the bound STRUCTURAL: maxRows is now
-    // Some(|terms|), so the broadcast below passes the whole-gate join-pin
-    // audit as bounded-by-construction instead of by allowlist
-    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
-      .limit(terms.size)
-    // df is bounded by |terms| (explicit broadcast); dl and the scored
-    // tf side are both DOC-scale by design — common query terms match a
-    // corpus-sized doc set — so their join is pinned shuffle_hash
-    // building the term-filtered side per partition, not left to a size
-    // estimate that would broadcast a doc-scale relation (r12 policy,
-    // SCALE.md)
-    tf.join(broadcast(df), "w")
-      .hint("shuffle_hash")
-      .join(dl, "doc_id")
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("w") === t, 1L).otherwise(0L)).as(s"tf_$i") }
+    val perDoc = toks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dl"), tfCols: _*)
+    val dfCols = terms.indices.map(i =>
+      sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+    val statsAgg = Seq(count(lit(1)).as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl")) ++ dfCols
+    val stats = perDoc.agg(statsAgg.head, statsAgg.tail: _*)
+    // per-term score, zero when the term is absent — the same expression
+    // tree per present term as the old per-row form (same types: tf, df,
+    // dl, n LONG; avgdl DOUBLE), summed in fixed term order
+    def sCol(i: Int) = when(col(s"tf_$i") > 0,
+      log(lit(1.0) +
+          (col("n") - col(s"df_$i") + lit(0.5)) / (col(s"df_$i") + lit(0.5)))
+        * (col(s"tf_$i") * lit(bm25K1 + 1.0))
+        / (col(s"tf_$i") + lit(bm25K1) *
+            (lit(1.0 - bm25B) + lit(bm25B) * col("dl") / col("avgdl"))))
+      .otherwise(lit(0.0))
+    val nTerms = terms.indices
+      .map(i => when(col(s"tf_$i") > 0, 1L).otherwise(0L)).reduce(_ + _)
+    perDoc
+      .withColumn("n_terms", nTerms)
+      .filter(col("n_terms") > 0)
       .crossJoin(broadcast(stats))
-      .withColumn("s",
-        log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-          * (col("tf") * lit(bm25K1 + 1.0))
-          / (col("tf") + lit(bm25K1) *
-              (lit(1.0 - bm25B) + lit(bm25B) * col("dl") / col("avgdl"))))
-      .groupBy(col("doc_id"))
-      .agg(round(sum(col("s")), 6).as("bm25"),
-        count(lit(1)).as("n_terms"))
+      .select(col("doc_id"),
+        round(terms.indices.map(sCol).reduce(_ + _), 6).as("bm25"),
+        col("n_terms"))
       .orderBy(col("bm25").desc, col("doc_id").asc)
       .limit(k)
   }

@@ -225,6 +225,40 @@ object Sources {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Stage a bucketed layout of `df` ONCE per content fingerprint of its
+    * source table (same write-once contract as the z-order and IVF
+    * layouts — [[stagePublishedLayout]]/[[layoutDir]]) and register it
+    * in the session catalog as an external bucketed table; returns the
+    * table name. The staging write goes through the normal bucketed
+    * writer under a throwaway catalog name (dropped after the write —
+    * the table is external, so the files stay), the atomic publish
+    * renames the directory with the bucket-id file names intact, and
+    * the final CREATE TABLE re-attaches the CLUSTERED/SORTED BY
+    * metadata to the published location — so downstream joins see
+    * exactly the bucketing a `saveAsTable` would have produced.
+    * Registration is per-catalog and idempotent (`IF NOT EXISTS`;
+    * name embeds the content fingerprint, so regenerated source data
+    * stages AND registers fresh instead of answering from a stale
+    * layout).
+    */
+  def stagedBucketedTable(spark: SparkSession, dir: String,
+    sourceTable: String, prefix: String, df: DataFrame,
+    bucketCol: String, n: Int): String = {
+    val out = layoutDir(prefix, dir, sourceTable)
+    val table = new java.io.File(out).getName
+    stagePublishedLayout(s"$dir->$out", out) { tmp =>
+      val stage = table + "_stage"
+      spark.sql(s"DROP TABLE IF EXISTS $stage")
+      writeBucketed(df, stage, tmp, bucketCol, n)
+      spark.sql(s"DROP TABLE IF EXISTS $stage")
+    }
+    spark.sql(
+      s"CREATE TABLE IF NOT EXISTS $table (${df.schema.toDDL}) " +
+        s"USING PARQUET CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol) " +
+        s"INTO $n BUCKETS LOCATION '$out'")
+    table
+  }
+
   /** Gate query: bucket lineitem AND orders on the order key (same bucket
     * count), then sort-merge join them bucket-to-bucket and aggregate
     * revenue by order priority. `BucketingSpec` pins the plan shape this
@@ -234,22 +268,32 @@ object Sources {
     * The merge hint keeps AQE from broadcasting the small-at-sf side,
     * since the demonstration target is the fact-to-fact shape where
     * broadcast is not an option.
+    *
+    * The layouts are STAGED (r18): bucketing is write-once / join-many
+    * by definition — its entire economic argument is paying the layout
+    * shuffle once instead of per query — yet this query used to rewrite
+    * both bucketed tables on every invocation, timing the write, not
+    * the exchange-free join it demonstrates. Now both tables go through
+    * the same content-fingerprinted publish-once mechanism as the
+    * z-order/IVF layouts ([[stagedBucketedTable]]): the first run per
+    * data fingerprint pays the layout (a self-labeling staging pass —
+    * `BenchTrace` demotes its SLO breach), every later run measures the
+    * bucket-to-bucket join itself.
     */
   def qBucketedJoin(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(12, 2))
     val one = lit(1).cast(DecimalType(12, 2))
-    val suffix = dir.replaceAll("[^a-zA-Z0-9]", "_")
-    val base = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_bucketed_" + suffix).getAbsolutePath
-    writeBucketed(graft.Tables.lineitem(spark, dir)
-      .select("l_orderkey", "l_extendedprice", "l_discount"),
-      s"li_bkt_$suffix", s"$base/li", "l_orderkey", 8)
-    writeBucketed(graft.Tables.orders(spark, dir)
-      .select("o_orderkey", "o_orderpriority"),
-      s"ord_bkt_$suffix", s"$base/ord", "o_orderkey", 8)
-    spark.table(s"li_bkt_$suffix").hint("merge")
-      .join(spark.table(s"ord_bkt_$suffix"),
+    val li = stagedBucketedTable(spark, dir, "lineitem.parquet",
+      "graft_bktli", graft.Tables.lineitem(spark, dir)
+        .select("l_orderkey", "l_extendedprice", "l_discount"),
+      "l_orderkey", 8)
+    val ord = stagedBucketedTable(spark, dir, "orders.parquet",
+      "graft_bktord", graft.Tables.orders(spark, dir)
+        .select("o_orderkey", "o_orderpriority"),
+      "o_orderkey", 8)
+    spark.table(li).hint("merge")
+      .join(spark.table(ord),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_items"),

@@ -29,9 +29,17 @@ class GraphSpec extends SparkTestBase {
   }
 
   test("co-partitioned fallback (no broadcast) matches, plan shuffles") {
-    val a = top20(reliable = false, bcast = true)
+    val a = top20(reliable = false, bcast = true).collect().map(_.toSeq).toSeq
+    // Drop the broadcast arm's cached pins before building the fallback:
+    // since r18 the pinned edge list embeds its degree-attach join, and
+    // the CacheManager's sameResult lookup ignores join-strategy hints —
+    // so WITHOUT the clear, the fallback run would silently reuse the
+    // broadcast arm's cache and this spec would read that arm's
+    // BroadcastHashJoin out of the InMemoryRelation's stored-plan string
+    // (a false positive: the reused cache holds identical DATA).
+    spark.sharedState.cacheManager.clearCache()
     val b = top20(reliable = false, bcast = false)
-    assert(a.collect().map(_.toSeq).toSeq == b.collect().map(_.toSeq).toSeq)
+    assert(a == b.collect().map(_.toSeq).toSeq)
     // the EDGES join must be the co-partitioned shuffle-hash join; the
     // tiny rank×degree weight join is free to broadcast (and should)
     val plan = b.queryExecution.executedPlan.toString

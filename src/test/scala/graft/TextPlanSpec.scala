@@ -44,9 +44,10 @@ class TextPlanSpec extends SparkTestBase {
   // r12 policy sweep: every further join with a corpus-scale-by-design
   // side carries a pinned strategy (SCALE.md §combined-stage) — the
   // distinct-gram semi join (substr), the eval-gram left join
-  // (decontaminate), the doc-scale tf⋈dl join (bm25; its |terms|-bounded
-  // df broadcast is intended and stays), and both unigram-type joins
-  // (PMI; the 1-row totals ride BroadcastNestedLoopJoin cross joins).
+  // (decontaminate), and both unigram-type joins (PMI; the 1-row totals
+  // ride BroadcastNestedLoopJoin cross joins). bm25's former tf⋈dl pin
+  // was retired in r18: the single-pass shape has no doc-scale join
+  // left to pin (pinned below as no-join + one exchange instead).
 
   test("exact-substr dup semi join is pinned shuffled-hash") {
     val p = finalPlan(graft.ops.Search.qDedupSubstr(spark, dir))
@@ -62,10 +63,20 @@ class TextPlanSpec extends SparkTestBase {
       s"the eval-gram side must not be broadcast:\n$p")
   }
 
-  test("bm25 doc-length join is pinned shuffled-hash; df broadcast stays") {
+  test("bm25 is single-pass: no doc-scale join, one token exchange") {
+    // r18 shape: per-term tf is conditional aggregation inside the SAME
+    // groupBy(doc_id) that counts dl, and stats+df are one 1-row
+    // broadcast — so the plan must carry NO row-scale join of any
+    // strategy and exactly one hashpartitioning(doc_id) exchange (the
+    // old shape tokenized twice and shuffle-hash-joined tf⋈dl)
     val p = finalPlan(graft.ops.Search.qBm25Search(spark, dir))
-    assert(p.contains("ShuffledHashJoin"),
-      s"expected the tf-dl join shuffled-hash:\n$p")
+      .split("== Initial Plan ==").head // final AQE plan only
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("BroadcastHashJoin"),
+      s"bm25 must not join doc-scale sides at all:\n$p")
+    val tokenizes = "Generate explode".r.findAllIn(p).size
+    assert(tokenizes == 1,
+      s"expected exactly one tokenize pass, got $tokenizes:\n$p")
   }
 
   test("PMI unigram joins are pinned shuffled-hash, never broadcast-hash") {
