@@ -30,17 +30,17 @@ object Search {
     * document the merged span count and total duplicated-token coverage.
     *
     * Shape, all linear in corpus tokens:
-    *  1. posexplode tokens; build each position's L-gram with `lead`
-    *     over (doc_id, pos) — one window pass, each token hashed and
-    *     shuffled exactly once (the array-of-grams formulation re-computes
-    *     the slice per position; see qFingerprintRolling's measured 50×
-    *     trap).
-    *  2. gram → count ≥ 2 ("posting list with df ≥ 2"). The gram frame
-    *     is grouped by gram, so the following LEFT SEMI join back to
-    *     positions reuses the same exchange — one shuffle write, two
-    *     readers, and a semi join cannot fan out on hot grams (a gram
-    *     appearing 10⁶ times marks 10⁶ positions, it does not build a
-    *     10¹²-pair product — the same df-blowup the dedup lanes cap).
+    *  1. build each position's L-gram INSIDE the document's token array
+    *     (transform + posexplode — see [[tokenGrams]]): zero shuffles
+    *     and zero sorts before a gram exists; the count side and the
+    *     probe side each run the scan+assemble independently (two cheap
+    *     column-pruned scans instead of shuffling and double-sorting
+    *     the exploded token stream, which is strictly more bytes).
+    *  2. gram → count ≥ 2 ("posting list with df ≥ 2"), LEFT SEMI join
+    *     back to positions on the gram key — a semi join cannot fan out
+    *     on hot grams (a gram appearing 10⁶ times marks 10⁶ positions,
+    *     it does not build a 10¹²-pair product — the same df-blowup the
+    *     dedup lanes cap).
     *  3. islands-and-gaps merge per document: a duplicated position
     *     within L of its predecessor extends the current span
     *     (overlap-or-adjacent ⟺ pos − prev ≤ L), else starts a new one —
@@ -56,27 +56,34 @@ object Search {
     substrSpansOf(Tables.documentsSpread(spark, dir), 8)
 
   /** (doc_id, pos, gram): the L-token gram starting at each 1-based
-    * token position — one `lead` window pass, each token shuffled once.
-    * Positions that run off the end are dropped by the isNotNull guard
-    * on the last lead (concat_ws would otherwise silently shorten the
-    * gram and alias it with a real shorter gram).
+    * token position — built INSIDE the document's token array
+    * (transform over an index sequence, constant O(L) element_at reads
+    * per position) and only then exploded. The former shape exploded
+    * tokens first and assembled grams with L−1 `lead` windows, which
+    * shuffled AND sorted the entire token stream by (doc_id, pos)
+    * before a single gram existed — a full extra exchange of the
+    * corpus at 100 TB (r18; guide §2.4). Same-session A/B at sf0.1:
+    * window 2.16/1.83 s vs array 1.65/1.57 s warm, identical output
+    * (the qFingerprintRolling 50× trap is about re-HASHING a slice per
+    * position vs a rolling hash — gram ASSEMBLY is O(L) per position
+    * in both shapes, so nothing is recomputed here). Off-end positions
+    * never exist: the index sequence stops at size(w) − L + 1, the
+    * same rows the old isNotNull guard kept.
     */
   private[ops] def tokenGrams(docs: DataFrame, L: Int): DataFrame = {
-    // L=1 would make t_last = lead(t, 0) = t and the "gram" the token
-    // concatenated with itself — silently wrong through the public
-    // substrSpans/decontaminate surface, so reject it outright.
+    // L=1 would collapse the gram to its own token through the public
+    // substrSpans/decontaminate surface with silently-shifted
+    // semantics, so reject it outright (same contract as before).
     require(L >= 2, s"gram length must be >= 2 tokens, got $L")
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
+    val grams = (0 until L).map(j => s"element_at(w, i + $j)")
+      .mkString("concat_ws(' ', ", ", ", ")")
     docs
-      .select(col("doc_id"),
-        posexplode(split(lower(col("text")), " ", -1)).as(Seq("p0", "t")))
-      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("t"))
-      .withColumn("t_last", lead(col("t"), L - 1).over(w))
-      .withColumn("gram", concat_ws(" ",
-        col("t") +: (1 until L - 1).map(i => lead(col("t"), i).over(w))
-          :+ col("t_last"): _*))
-      .filter(col("t_last").isNotNull)
-      .select(col("doc_id"), col("pos"), col("gram"))
+      .withColumn("w", split(lower(col("text")), " ", -1))
+      .select(col("doc_id"), posexplode(expr(
+        s"""CASE WHEN size(w) >= $L THEN
+           |  transform(sequence(1, size(w) - ${L - 1}), i -> $grams)
+           |ELSE array() END""".stripMargin)).as(Seq("p0", "gram")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("gram"))
   }
 
   /** Same operator over any (doc_id, text, ...) frame; grams of `L` tokens.

@@ -46,18 +46,23 @@ class SearchSpec extends SparkTestBase {
     assert(Search.substrSpansOf(d, 8).count() == 0L)
   }
 
-  test("substr gram build reuses one exchange for count and semi join") {
+  test("substr grams build in-array: token stream never shuffles pre-join") {
+    // r18 shape: grams assemble INSIDE each document's token array
+    // (transform + posexplode) on both the count side and the probe
+    // side — no exploded-token window, so the only doc_id exchange in
+    // the whole plan is the islands-merge window AFTER the semi join
+    // (the old lead-window shape shuffled and double-sorted the entire
+    // token stream by (doc_id, pos) before a single gram existed).
     val df = Search.substrSpansOf(Tables.documentsSpread(spark, sfDir), 8)
-    df.collect() // materialize so AQE finalizes stage reuse
+    df.collect() // materialize so AQE finalizes the plan
     val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
     assert(plan.contains("LeftSemi"), "df>=2 membership must be a semi join")
-    // AQE reuse shows either as a static ReusedExchange or as the same
-    // shuffle stage id consumed twice in the final adaptive plan.
-    val stageIds = "ShuffleQueryStage (\\d+)".r
-      .findAllMatchIn(plan).map(_.group(1)).toList
-    assert(plan.contains("ReusedExchange") ||
-      stageIds.distinct.size < stageIds.size,
-      s"expected a reused shuffle stage, got stages $stageIds in:\n$plan")
+    val docIdExchanges =
+      "Exchange hashpartitioning\\(doc_id".r.findAllIn(plan).size
+    assert(docIdExchanges == 1,
+      s"expected the islands window's doc_id exchange only, " +
+        s"got $docIdExchanges:\n$plan")
   }
 
   test("bm25Of matches a brute-force score on an enumerable corpus") {
