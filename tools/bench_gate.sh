@@ -127,11 +127,26 @@ run_bench() {
 }
 
 # keep_best <incumbent> <challenger> — 0 if the challenger wins.
-# State rank first (quiet > ambient > drifted), then median pass total.
+# TREE IDENTITY first (r18 optimization round): an incumbent whose
+# timed_path_sha differs from the challenger's is a capture of CODE
+# THAT NO LONGER EXISTS at HEAD — its median is not comparable (it
+# conflates host drift with the code change), and letting it block
+# every current-tree capture would leave the committed official
+# describing a stale tree forever. A current-tree challenger therefore
+# beats a cross-tree incumbent unconditionally; within the same tree,
+# state rank (quiet > ambient > drifted), then median pass total.
 # A missing incumbent never crashes the comparison: challenger wins.
+sha_of() {
+  python3 -c "import json;print(json.load(open('$1')).get('timed_path_sha','unknown'))" \
+    2>/dev/null || echo unknown
+}
 keep_best() {
   local inc=$1 ch=$2
   [ -f "$inc" ] || return 0
+  if [ "$(sha_of "$inc")" != "$(sha_of "$ch")" ]; then
+    log "keep-best: incumbent is cross-tree ($(sha_of "$inc") != $(sha_of "$ch")) — current-tree capture adopted"
+    return 0
+  fi
   local ri rc2
   ri=$(rank_of "$inc"); rc2=$(rank_of "$ch")
   if [ "$rc2" -lt "$ri" ]; then return 0; fi
