@@ -23,18 +23,45 @@ import graft.Tables
   */
 object Robust {
 
+  /** Source-bytes threshold above which this lane's SINGLE-SCAN shape
+    * (one per-(group, value) exact-count aggregation feeding thresholds
+    * AND the weighted final pass) beats the multi-scan shape. Measured
+    * crossover (r19, same-session alternating A/B, results `==` every
+    * round): at sf0.1 (lineitem 10.8 MB / events 1.1 MB) the multi-scan
+    * shape wins by 0.2–0.4 s — the cost there is sequential AQE stage
+    * latency, and the value-count shape adds an exchange plus a
+    * materialization; at 10× (108 MB) the single-scan shape wins 0.55×
+    * (winsorize 2.4→1.3 s) / 0.65× (binning 3.0→2.0 s), and at a
+    * 100×-events stage (115 MB) zscore wins 0.6× (1.7→0.86 s). 64 MiB
+    * sits between the measured regimes; at 100 TB the single-scan
+    * shape saves one to two full fact scans per query, because the
+    * value-count frame is bounded by the 2-decimal value DOMAIN, not
+    * the row count. Same decide-by-input-size pattern as
+    * [[Dedup.ResolveDriverThreshold]] and
+    * [[graft.streaming.Streaming.adaptiveStateParts]]: both shapes are
+    * result-identical (spec-pinned), the data size picks the cheaper
+    * plan before the query is built.
+    */
+  val SingleScanBytes: Long = 64L << 20
+
+  private def singleScanFor(dir: String, table: String): Boolean =
+    graft.sources.Sources.sourceFileBytes(dir, table) >= SingleScanBytes
+
   /** Per-event-type z-score outlier counts over the events stream:
     * flags rows with `|value − μ| > 2σ` (population σ).
     *
-    * Shape at scale: one partial+final aggregate for the moments
-    * (6 rows out), broadcast back, one narrow flag-and-count pass —
-    * two scans of the fact, zero row-scale shuffles. The moments are
-    * sums, so at 100 TB the first pass is map-side-combined per file
-    * split and the second is embarrassingly parallel.
+    * Shape at scale: ONE scan of the fact into per-(type, value) exact
+    * counts (domain-bounded — `value` is 2-decimal), moments as
+    * weighted sums over that frame (6 rows out), broadcast back, and
+    * the flag-and-count pass weights the same frame — zero row-scale
+    * shuffles, zero re-scans. The moments are sums, so at 100 TB the
+    * single pass is map-side-combined per file split. Below
+    * [[SingleScanBytes]] the old two-scan shape is kept (cheaper at
+    * toy scale — see the threshold's measurement note).
     */
   def qEventZscore(spark: SparkSession, dir: String): DataFrame =
     zscoreOutliers(Tables.events(spark, dir), col("event_type"),
-      col("value"))
+      col("value"), singleScan = singleScanFor(dir, "events.parquet"))
 
   /** [[qEventZscore]] over any frame: group column + 2-decimal value.
     *
@@ -52,15 +79,40 @@ object Robust {
     * 10¹⁰ rows of values up to 10⁶) the restructure is to subtract the
     * per-group mean before squaring, which shrinks magnitudes by ~n.
     */
-  def zscoreOutliers(df: DataFrame, group: Column, value: Column): DataFrame = {
+  def zscoreOutliers(df: DataFrame, group: Column, value: Column,
+    singleScan: Boolean = true): DataFrame = {
     val w = df.select(group.as("g"),
       (value.cast(DecimalType(12, 2)) * 100).cast("long").as("w"))
     val d38 = DecimalType(38, 0)
-    val stats = w.groupBy("g").agg(
-      count(lit(1)).as("n"),
-      sum(col("w").cast(d38)).as("s"),
-      sum(col("w").cast(d38) * col("w")).as("q"),
-      max(abs(col("w"))).as("m"))
+    // SINGLE-SCAN shape (r19, guide §2.3): the moments AND the outlier
+    // predicate both derive from per-(g, w) exact counts — the
+    // predicate depends only on (g, w), so flagging distinct values and
+    // weighting by `c` sums the identical integers the per-row pass
+    // did. Output is bounded by the value DOMAIN (2-decimal), so at
+    // 100 TB the map-side combine collapses the shuffle to domain
+    // scale and the fact is scanned once instead of twice. Eager
+    // localCheckpoint: one materialization per invocation (the same
+    // per-query pin pagerank/resolve use) — without it each consumer
+    // re-plans the scan+aggregate subtree, and the join's inferred
+    // not-null key filter pushes into one copy, defeating exchange
+    // reuse (measured in the r19 executed plans). Below
+    // [[SingleScanBytes]] the flag pass re-scans the fact instead
+    // (`wc` stays lazy and only the moments consume it — one scan +
+    // one scan, no exchange, no materialization — measured cheaper at
+    // toy scale where stage latency dominates).
+    val wcRaw = w.groupBy("g", "w").agg(count(lit(1)).as("c"))
+    val wc = if (singleScan) wcRaw.localCheckpoint(true) else wcRaw
+    val stats =
+      if (singleScan) wc.groupBy("g").agg(
+        sum(col("c")).as("n"),
+        sum(col("w").cast(d38) * col("c")).as("s"),
+        sum(col("w").cast(d38) * col("w") * col("c")).as("q"),
+        max(abs(col("w"))).as("m"))
+      else w.groupBy("g").agg(
+        count(lit(1)).as("n"),
+        sum(col("w").cast(d38)).as("s"),
+        sum(col("w").cast(d38) * col("w")).as("q"),
+        max(abs(col("w"))).as("m"))
     val lhs = col("w").cast(d38) * col("n") - col("s")
     val rhs = (col("q").cast(d38) * col("n") - col("s").cast(d38) * col("s")) * 4
     val headroom = lit("1000000000000000000").cast(d38) // 10^18
@@ -68,9 +120,14 @@ object Robust {
       col("m").cast(d38) * col("n") <= headroom,
       lit("zscoreOutliers: max|w|*n exceeds DECIMAL(38) headroom; " +
         "center values per group before squaring")))
-    w.join(broadcast(stats), "g")
-      .select(col("g"), col("n"), col("s"),
-        (guarded && (lhs * lhs > rhs)).cast("int").as("is_out"))
+    val flagged =
+      if (singleScan) wc.join(broadcast(stats), "g")
+        .select(col("g"), col("n"), col("s"),
+          ((guarded && (lhs * lhs > rhs)).cast("long") * col("c")).as("is_out"))
+      else w.join(broadcast(stats), "g")
+        .select(col("g"), col("n"), col("s"),
+          (guarded && (lhs * lhs > rhs)).cast("long").as("is_out"))
+    flagged
       .groupBy(col("g").as("event_type"))
       .agg(first(col("n")).as("n_events"),
         sum(col("is_out")).as("n_outliers"),
@@ -106,7 +163,8 @@ object Robust {
     */
   def qWinsorize(spark: SparkSession, dir: String): DataFrame =
     winsorize(Tables.lineitem(spark, dir), col("l_returnflag"),
-      col("l_extendedprice"), 1, 99)
+      col("l_extendedprice"), 1, 99,
+      singleScan = singleScanFor(dir, "lineitem.parquet"))
 
   /** Exact per-group cumulative counts over the distinct values of a
     * 2-decimal column, as a DISTRIBUTED two-level prefix sum: a plain
@@ -142,24 +200,77 @@ object Robust {
         (col("lc") + col("off")).as("cum"), col("n"))
   }
 
+  /** Per-(group, value) exact counts — the single corpus aggregation
+    * the winsorize/binning lane runs (ONE FileScan of the fact; every
+    * later phase works off this frame). The output is bounded by the
+    * value DOMAIN, not the row count: `p` is DECIMAL(12,2), so a group
+    * holds at most 10¹⁰ distinct cents values whatever the fact's row
+    * count — at 100 TB the map-side combine collapses the shuffle to
+    * domain scale. Callers eagerly localCheckpoint the frame: planner
+    * exchange reuse across its three consumers does NOT hold (the
+    * refinement join pushes an inferred not-null bucket filter into
+    * its copy of the subtree, so the exchanges no longer canonicalize
+    * equal — r19 executed plans), and the checkpoint makes the
+    * one-materialization contract explicit.
+    */
+  private[ops] def valueCounts(prices: DataFrame): DataFrame =
+    prices.groupBy("g", "p").agg(count(lit(1)).as("c"))
+
   /** Exact per-group order statistics WITHOUT materializing cumulative
     * counts over every distinct value: at sf0.1, l_extendedprice is
     * 97% unique (583 k distinct of 600 k rows), so the distinct-value
     * cumulative table is row-scale and its window sorts dominate the
     * winsorize/binning cost — measured as the two most expensive batch
     * queries in round 4. This is the classic two-phase quantile
-    * instead: (1) a cents-bucket histogram (ONE map-side-combined
-    * shuffle into O(groups × buckets) rows — each needed rank `k(n)`
+    * instead: (1) a cents-bucket histogram (summed from the per-value
+    * counts into O(groups × buckets) rows — each needed rank `k(n)`
     * then locates its bucket by the serial bucket prefix), and (2) a
-    * residual-rank refinement over ONLY the selected buckets (a
-    * broadcast-semi-joined re-scan touching ~rank-count × bucket-width
-    * rows, per-value counts + one tiny window inside each). Exactness
+    * residual-rank refinement over ONLY the selected buckets'
+    * per-value counts (a broadcast join touching ~rank-count ×
+    * bucket-width values, one tiny window inside each). Exactness
     * is unchanged: every copy of a value lives in exactly one bucket,
     * so bucket-start + within-bucket rank is the global rank.
+    *
+    * Takes the [[valueCounts]] frame, NOT the fact: both phases (and
+    * the caller's final pass) derive from that one aggregation, so the
+    * fact is scanned once per query instead of once per phase (r19 —
+    * the before-plan had three FileScans of lineitem; guide §2.3/§2.4).
     *
     * `ks` maps a tag to the wanted rank as SQL over the group size `n`
     * (e.g. `(n * 99 + 99) div 100`). Returns (g, d, t): per group and
     * tag, the rank's VALUE.
+    */
+  private[ops] def orderStatsOfCounts(pv: DataFrame,
+    ks: Seq[(Int, String)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = pv.withColumn("bkt", expr("CAST(p * 100 AS BIGINT) div 8192"))
+    val hist = b.groupBy("g", "bkt").agg(sum(col("c")).as("c"))
+    val wPrior = Window.partitionBy("g").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withStart = hist
+      .withColumn("start", coalesce(sum(col("c")).over(wPrior), lit(0L)))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("g")))
+    val wanted = withStart.select(col("g"), col("bkt"), col("start"),
+        col("c"), explode(array(ks.map { case (d, kExpr) =>
+          struct(lit(d).as("d"), expr(kExpr).as("k")) }: _*)).as("dk"))
+      .filter(col("dk.k") > col("start") &&
+        col("dk.k") <= col("start") + col("c"))
+      .select(col("g"), col("bkt"), col("dk.d").as("d"),
+        (col("dk.k") - col("start")).as("kr"))
+    val wv = Window.partitionBy("g", "d").orderBy("p")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b.join(broadcast(wanted), Seq("g", "bkt"))
+      .withColumn("cum", sum(col("c")).over(wv))
+      .filter(col("cum") >= col("kr"))
+      .groupBy("g", "d").agg(min(col("p")).as("t"))
+  }
+
+  /** The multi-scan variant of [[orderStatsOfCounts]], verbatim the
+    * pre-r19 shape: histogram and refinement each scan the raw (g, p)
+    * fact (map-side-combined aggregates, NO row-scale exchange, no
+    * materialization). Kept for the below-[[SingleScanBytes]] regime,
+    * where re-scanning a small fact is cheaper than exchanging +
+    * materializing its value counts.
     */
   private[ops] def orderStats(prices: DataFrame,
     ks: Seq[(Int, String)]): DataFrame = {
@@ -188,29 +299,61 @@ object Robust {
   }
 
   /** [[qWinsorize]] over any frame: clamp `value` to the group's
-    * [pLo, pHi] percentiles (whole-percent ranks, exact).
+    * [pLo, pHi] percentiles (whole-percent ranks, exact). Both shapes
+    * (see [[SingleScanBytes]]) produce identical rows — `RobustSpec`
+    * and the `RobustAb` probe pin the equality.
     */
   def winsorize(df: DataFrame, group: Column, value: Column,
-    pLo: Int, pHi: Int): DataFrame = {
+    pLo: Int, pHi: Int, singleScan: Boolean = true): DataFrame = {
     val prices = df.select(group.as("g"),
       value.cast(DecimalType(12, 2)).as("p"))
     // ceil(p·n/100) as pure integer arithmetic — identical in DuckDB.
-    val stats = orderStats(prices, Seq(
-      0 -> s"(n * $pLo + 99) div 100", 1 -> s"(n * $pHi + 99) div 100"))
-    val thresholds = stats.groupBy("g").agg(
-      min(when(col("d") === 0, col("t"))).as("lo"),
-      min(when(col("d") === 1, col("t"))).as("hi"))
-    prices.join(broadcast(thresholds), "g")
-      .select(col("g"),
-        least(greatest(col("p"), col("lo")), col("hi")).as("cl"),
-        (col("p") < col("lo")).cast("long").as("is_lo"),
-        (col("p") > col("hi")).cast("long").as("is_hi"))
-      .groupBy(col("g").as("l_returnflag"))
-      .agg(count(lit(1)).as("n_rows"),
-        sum(col("cl")).cast("double").as("win_sum"),
-        sum(col("is_lo")).as("n_clamped_lo"),
-        sum(col("is_hi")).as("n_clamped_hi"))
-      .orderBy("l_returnflag")
+    val ks = Seq(
+      0 -> s"(n * $pLo + 99) div 100", 1 -> s"(n * $pHi + 99) div 100")
+    if (singleScan) {
+      // ONE corpus aggregation; thresholds AND the clamp pass both work
+      // off the per-value counts (weighted by `c`), so the fact is
+      // scanned once instead of three times (r19, guide §2.3/§2.4). The
+      // weighted sums are the identical exact DECIMAL/integer
+      // arithmetic: Σ_rows f(p) = Σ_values f(p)·c for every aggregate
+      // below. Eager localCheckpoint: one materialization per
+      // invocation — without it each consumer re-plans the
+      // scan+aggregate subtree, and the refinement join's inferred
+      // not-null key filter pushes into its copy, defeating exchange
+      // reuse (measured in the r19 executed plans).
+      val pv = valueCounts(prices).localCheckpoint(true)
+      val stats = orderStatsOfCounts(pv, ks)
+      val thresholds = stats.groupBy("g").agg(
+        min(when(col("d") === 0, col("t"))).as("lo"),
+        min(when(col("d") === 1, col("t"))).as("hi"))
+      pv.join(broadcast(thresholds), "g")
+        .select(col("g"), col("c"),
+          least(greatest(col("p"), col("lo")), col("hi")).as("cl"),
+          (col("p") < col("lo")).cast("long").as("is_lo"),
+          (col("p") > col("hi")).cast("long").as("is_hi"))
+        .groupBy(col("g").as("l_returnflag"))
+        .agg(sum(col("c")).as("n_rows"),
+          sum(col("cl") * col("c")).cast("double").as("win_sum"),
+          sum(col("is_lo") * col("c")).as("n_clamped_lo"),
+          sum(col("is_hi") * col("c")).as("n_clamped_hi"))
+        .orderBy("l_returnflag")
+    } else {
+      val stats = orderStats(prices, ks)
+      val thresholds = stats.groupBy("g").agg(
+        min(when(col("d") === 0, col("t"))).as("lo"),
+        min(when(col("d") === 1, col("t"))).as("hi"))
+      prices.join(broadcast(thresholds), "g")
+        .select(col("g"),
+          least(greatest(col("p"), col("lo")), col("hi")).as("cl"),
+          (col("p") < col("lo")).cast("long").as("is_lo"),
+          (col("p") > col("hi")).cast("long").as("is_hi"))
+        .groupBy(col("g").as("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("cl")).cast("double").as("win_sum"),
+          sum(col("is_lo")).as("n_clamped_lo"),
+          sum(col("is_hi")).as("n_clamped_hi"))
+        .orderBy("l_returnflag")
+    }
   }
 
   /** Decile feature binning — the quantile-discretizer stage, done the
@@ -225,26 +368,46 @@ object Robust {
     */
   def qFeatureBinning(spark: SparkSession, dir: String): DataFrame =
     featureBins(Tables.lineitem(spark, dir), col("l_returnflag"),
-      col("l_extendedprice"))
+      col("l_extendedprice"),
+      singleScan = singleScanFor(dir, "lineitem.parquet"))
 
-  /** [[qFeatureBinning]] over any frame: per-group decile audit. */
-  def featureBins(df: DataFrame, group: Column, value: Column): DataFrame = {
+  /** [[qFeatureBinning]] over any frame: per-group decile audit. Both
+    * shapes (see [[SingleScanBytes]]) produce identical rows.
+    */
+  def featureBins(df: DataFrame, group: Column, value: Column,
+    singleScan: Boolean = true): DataFrame = {
     val prices = df.select(group.as("g"),
       value.cast(DecimalType(12, 2)).as("p"))
-    val stats = orderStats(prices,
-      (1 to 9).map(d => d -> s"(n * $d + 9) div 10"))
+    val ks = (1 to 9).map(d => d -> s"(n * $d + 9) div 10")
     val tCols = (1 to 9).map(d =>
       min(when(col("d") === d, col("t"))).as(s"t$d"))
-    val thresholds = stats.groupBy("g").agg(tCols.head, tCols.tail: _*)
     val bin = (1 to 9).map(d => (col("p") > col(s"t$d")).cast("int"))
       .reduce(_ + _)
-    prices.join(broadcast(thresholds), "g")
-      .withColumn("bin", bin)
-      .groupBy(col("g").as("l_returnflag"), col("bin"))
-      .agg(count(lit(1)).as("n_rows"),
-        min(col("p")).cast("double").as("lo"),
-        max(col("p")).cast("double").as("hi"))
-      .orderBy("l_returnflag", "bin")
+    if (singleScan) {
+      // Same single-scan shape as [[winsorize]]: thresholds and the
+      // per-bin audit both derive from the one value-count aggregation
+      // (`n_rows` as Σc; min/max over distinct values are count-free).
+      val pv = valueCounts(prices).localCheckpoint(true)
+      val stats = orderStatsOfCounts(pv, ks)
+      val thresholds = stats.groupBy("g").agg(tCols.head, tCols.tail: _*)
+      pv.join(broadcast(thresholds), "g")
+        .withColumn("bin", bin)
+        .groupBy(col("g").as("l_returnflag"), col("bin"))
+        .agg(sum(col("c")).as("n_rows"),
+          min(col("p")).cast("double").as("lo"),
+          max(col("p")).cast("double").as("hi"))
+        .orderBy("l_returnflag", "bin")
+    } else {
+      val stats = orderStats(prices, ks)
+      val thresholds = stats.groupBy("g").agg(tCols.head, tCols.tail: _*)
+      prices.join(broadcast(thresholds), "g")
+        .withColumn("bin", bin)
+        .groupBy(col("g").as("l_returnflag"), col("bin"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("p")).cast("double").as("lo"),
+          max(col("p")).cast("double").as("hi"))
+        .orderBy("l_returnflag", "bin")
+    }
   }
 
   val oracles: Map[String, String] = Map(

@@ -110,6 +110,31 @@ class RobustSpec extends SparkTestBase {
     }
   }
 
+  test("single-scan and multi-scan shapes produce identical rows (r19)") {
+    // qWinsorize/qFeatureBinning/qEventZscore pick the shape from the
+    // source's file bytes (Robust.SingleScanBytes); this pins the two
+    // shapes row-identical with the same column names and types, so
+    // the switch can never change what a query computes. (Nullability
+    // differs by construction — count() is NOT NULL, the weighted
+    // sum() is nullable — which no sink or oracle observes.)
+    val li = Tables.lineitem(spark, sfDir)
+    val ev = Tables.events(spark, sfDir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      (df.schema.map(f => (f.name, f.dataType)), df.collect().toSeq)
+    assert(rows(Robust.winsorize(li, col("l_returnflag"),
+        col("l_extendedprice"), 1, 99, singleScan = true))
+      == rows(Robust.winsorize(li, col("l_returnflag"),
+        col("l_extendedprice"), 1, 99, singleScan = false)))
+    assert(rows(Robust.featureBins(li, col("l_returnflag"),
+        col("l_extendedprice"), singleScan = true))
+      == rows(Robust.featureBins(li, col("l_returnflag"),
+        col("l_extendedprice"), singleScan = false)))
+    assert(rows(Robust.zscoreOutliers(ev, col("event_type"), col("value"),
+        singleScan = true))
+      == rows(Robust.zscoreOutliers(ev, col("event_type"), col("value"),
+        singleScan = false)))
+  }
+
   test("stream-static join reconciles with the batch join") {
     val got = graft.streaming.Streaming.qStreamStaticJoin(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
