@@ -402,8 +402,17 @@ object Dedup {
   def resolveComponents(spark: SparkSession, pairsDf: DataFrame,
     driverThreshold: Long): DataFrame = {
     val pairs = pairsDf.cache()
-    val nPairs = pairs.count()
-    if (nPairs <= driverThreshold) {
+    // ONE probe action both decides the strategy AND, on the driver
+    // path, already holds the rows: limit(threshold+1) returns at most
+    // `threshold` rows iff the true pair count is within the threshold
+    // (r19 — the old count()-then-collect() pair of jobs paid a full
+    // extra pass over the candidate pipeline for the same decision;
+    // union-find over the collected rows is order-independent, so the
+    // limit's row order cannot change the canonical mapping).
+    val probe: Array[org.apache.spark.sql.Row] =
+      if (driverThreshold >= Int.MaxValue) pairs.collect()
+      else pairs.limit(driverThreshold.toInt + 1).collect()
+    if (driverThreshold >= Int.MaxValue || probe.length <= driverThreshold) {
       // driver-side union-find (path-halving) over the small graph
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
@@ -415,7 +424,7 @@ object Dedup {
         }
         r
       }
-      pairs.collect().foreach { row =>
+      probe.foreach { row =>
         val (a, b) = (row.getLong(0), row.getLong(1))
         val (ra, rb) = (find(a), find(b))
         if (ra != rb) { // union by MIN so the canonical is the minimum

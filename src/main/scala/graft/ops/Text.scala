@@ -280,8 +280,17 @@ object Text {
       .select(col("doc_id"),
         explode(split(lower(col("text")), " ", -1)).as("w"))
       .filter(col("w") =!= "")
+    // Eager localCheckpoint (r19, guide §2.3/§2.4): tf fans out to the
+    // df table, the 1-row N subquery AND the scored join side, and
+    // column pruning makes the three copies canonicalize differently
+    // (the df/N branches drop the count), so the planner re-ran the
+    // full tokenize+aggregate subtree per consumer — the r19 executed
+    // plan showed the corpus tokenized THREE times. Materialized once,
+    // the checkpoint is the same (doc_id, w, tf) bytes the join
+    // shuffles anyway; at 100 TB this removes two full tokenize passes.
     val tf = toks.groupBy(col("doc_id"), col("w"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val df = tf.groupBy(col("w"))
       .agg(count(lit(1)).as("df"))
     val n = tf.select(col("doc_id")).distinct()

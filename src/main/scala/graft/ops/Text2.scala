@@ -46,8 +46,18 @@ object Text2 {
           |ELSE CAST(NULL AS ARRAY<STRUCT<a: STRING, b: STRING>>) END"""
           .stripMargin)).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
+    // Eager localCheckpoints (r19): uni fans out THREE ways (the a-side
+    // join, the b-side join, the 1-row total) and cab TWO ways (the
+    // pair filter, its total), and column pruning breaks exchange reuse
+    // between the copies — the r19 executed plan tokenized the corpus
+    // five times. Both frames are TYPE-scale (vocabulary / bigram
+    // types), tiny next to the token stream they aggregate, so one
+    // materialization each collapses the query to its two inherent
+    // tokenize passes (unigrams, bigrams).
+    val uniCk = uni.localCheckpoint(true)
     val cab = bg.groupBy("a", "b").agg(count(lit(1)).as("cab"))
-    val totU = uni.agg(sum(col("c1")).as("u"))
+      .localCheckpoint(true)
+    val totU = uniCk.agg(sum(col("c1")).as("u"))
     val totB = cab.agg(sum(col("cab")).as("nb"))
     // both sides are TYPE-scale (bigram types x unigram types) and grow
     // with a real corpus's vocabulary; the unigram side is the smaller,
@@ -55,9 +65,9 @@ object Text2 {
     // rather than trusting a size estimate near the broadcast threshold
     // (r12 policy, SCALE.md)
     cab.filter(col("cab") >= minCount)
-      .join(uni.select(col("tok").as("a"), col("c1").as("ca"))
+      .join(uniCk.select(col("tok").as("a"), col("c1").as("ca"))
         .hint("shuffle_hash"), "a")
-      .join(uni.select(col("tok").as("b"), col("c1").as("cb"))
+      .join(uniCk.select(col("tok").as("b"), col("c1").as("cb"))
         .hint("shuffle_hash"), "b")
       .crossJoin(broadcast(totU))
       .crossJoin(broadcast(totB))
@@ -94,7 +104,15 @@ object Text2 {
       .select(col("doc_id"),
         explode(split(lower(col("text")), " ", -1)).as("w"))
       .filter(col("w") =!= "")
+    // Eager localCheckpoint (r19): vocab fans out to the 1-row totals
+    // AND the lp projection, and column pruning breaks exchange reuse
+    // between the two copies — the r19 executed plan tokenized the
+    // corpus three times (two vocab copies + the probe side). The
+    // vocabulary is O(word types): materializing it once costs almost
+    // nothing and leaves the query its two inherent tokenize passes
+    // (vocabulary build, per-token probe).
     val vocab = toks.groupBy("w").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val tot = vocab.agg(sum(col("c")).as("n_total"),
       count(lit(1)).as("v"))
     // log-prob per TYPE (not token): rounded to 6 before the per-doc

@@ -501,18 +501,37 @@ object Streaming {
     * rather than inheriting whatever order the shuffle delivers.
     * Returns (stagePath, maxRealTs).
     */
+  /** max(ts) of each staged sentinel zone, memoized with the zone
+    * itself: the value is a property of the staged files (sentinel 1,
+    * already written into the zone, is derived from it), yet the old
+    * shape re-ran the max(ts) aggregation job on EVERY invocation of
+    * every sentinel-flushed lane (r19 census: one accidental Spark job
+    * per run on left_join / full_join / session_window). Same per-JVM
+    * staging-metadata contract as [[stagedDirs]]; a fresh JVM restages
+    * and recomputes together. computeIfAbsent holds the map bin while
+    * the (seconds-long) staging write runs — acceptable here because
+    * the gate stages at most one zone per dir and callers are
+    * sequential (contrast `Sources.stagePublishedLayout`, which must
+    * not block unrelated keys for multi-minute layout writes).
+    */
+  private val stagedMaxTs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.sql.Timestamp]()
+
   private[streaming] def sentinelStage(spark: SparkSession, dir: String)
     : (String, java.sql.Timestamp) = {
     val stage = new java.io.File(sys.props("java.io.tmpdir"),
       "graft_stream_sn_" + dir.replaceAll("[^a-zA-Z0-9]", "_"))
       .getAbsolutePath
-    val ev = graft.Tables.events(spark, dir)
-    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
-    if (stagedDirs.add(s"$dir->$stage")) {
-      ev.repartition(1).sortWithinPartitions("ts", "event_id")
-        .write.mode("overwrite").parquet(stage)
-      sentinelRow(spark, maxTs, 1).write.mode("append").parquet(stage)
-    }
+    val maxTs = stagedMaxTs.computeIfAbsent(s"$dir->$stage", _ => {
+      val ev = graft.Tables.events(spark, dir)
+      val m = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      if (stagedDirs.add(s"$dir->$stage")) {
+        ev.repartition(1).sortWithinPartitions("ts", "event_id")
+          .write.mode("overwrite").parquet(stage)
+        sentinelRow(spark, m, 1).write.mode("append").parquet(stage)
+      }
+      m
+    })
     (stage, maxTs)
   }
 

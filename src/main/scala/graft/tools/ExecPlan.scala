@@ -36,9 +36,12 @@ object ExecPlan {
         if (name == "q_graph_pagerank")
           graft.ops.Graph.pagerankTop20(spark, sfDir)._1
         else graft.SparkEntry.queries(name)(spark, sfDir)
-      // execute THIS df (a count() would plan a different query and
-      // leave df's own AdaptiveSparkPlan un-finalized)
-      df.write.format("noop").mode("overwrite").save()
+      // execute THIS df's own QueryExecution: count() plans a different
+      // query and a sink write wraps the plan in its own execution —
+      // both leave df's AdaptiveSparkPlan un-finalized. collect() runs
+      // the exact plan object whose final form we print (gate outputs
+      // are bounded, so the driver-side result is small).
+      df.collect()
       val plan = df.queryExecution.executedPlan.toString
       Files.writeString(Paths.get(outDir, s"${name}_$suffix.txt"), plan)
       println(s"[exec-plan] wrote $outDir/${name}_$suffix.txt")
