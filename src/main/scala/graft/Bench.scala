@@ -288,15 +288,54 @@ object Bench {
       "q_stream_tumbling", "q_stream_sessions", "q_stream_session_window",
       "q_stream_join", "q_stream_left_join", "q_stream_dedup",
       "q_stream_upsert", "q_stream_static_join")
+    // r19 (verdict #7): widen the printed map ADDITIVELY — the lanes the
+    // r18/r19 optimization passes touched that the original headline set
+    // missed, in priority order. Appended only while the line stays
+    // under the byte budget below; never removes or renames an existing
+    // entry, and the full 166-query map is in the committed artifact
+    // regardless.
+    val extras = Seq(
+      "q_stream_full_join", "q_hybrid_search_ivf", "q_hybrid_search",
+      "q_decontaminate", "q_bucketed_join", "q_stream_sessions_v2",
+      "q_stream_first_touch_boot", "q_stream_sliding",
+      "q_stream_first_touch", "q_event_resample")
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     // per-query values at 2 decimals: 10 ms resolution is plenty for a
-    // trend line and buys ~80 bytes of headroom under the ~1.9 KB cap
+    // trend line and buys ~80 bytes of headroom under the ~1.9 KB cap;
+    // trailing zeros are trimmed ("0.70"→"0.7", "1.00"→"1" — the same
+    // JSON number) to buy room for the extras above.
     def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    def fq(v: Double): String = {
+      val s = f2(v)
+      if (!s.contains('.')) s
+      else {
+        val t = s.reverse.dropWhile(_ == '0').reverse
+        if (t.endsWith(".")) t.dropRight(1) else t
+      }
+    }
     val byName = results.toMap
-    val qs = headline.flatMap(k => byName.get(k).map(v => s"\"$k\":" + f2(v)))
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def lineOf(entries: Seq[String]): String = {
+      val qs = entries.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    // The harness keeps only the last ~2000 chars of sbt output and the
+    // "[info] " prefix plus sbt's "[success] …" epilogue eat ~85 of
+    // them; a line that overruns is truncated mid-JSON and the driver
+    // parses NOTHING (rounds 1–3 lost their whole per-query map that
+    // way) — so extras are admitted one at a time under a 1870-byte
+    // cap, ~45 bytes of slack below the measured ceiling.
+    val lineBudget = 1870
+    val baseEntries =
+      headline.flatMap(k => byName.get(k).map(v => s"\"$k\":" + fq(v)))
+    var kept = baseEntries
+    extras.foreach { k =>
+      byName.get(k).foreach { v =>
+        val e = s"\"$k\":" + fq(v)
+        if (lineOf(kept :+ e).length <= lineBudget) kept = kept :+ e
+      }
+    }
+    println(lineOf(kept))
     // The stdout cap only constrains the driver's one-line summary — the
     // COMPLETE per-query map goes to a committed artifact so every
     // query's trend is diffable round over round, not just the headline

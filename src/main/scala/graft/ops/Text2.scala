@@ -49,11 +49,13 @@ object Text2 {
     // Eager localCheckpoints (r19): uni fans out THREE ways (the a-side
     // join, the b-side join, the 1-row total) and cab TWO ways (the
     // pair filter, its total), and column pruning breaks exchange reuse
-    // between the copies — the r19 executed plan tokenized the corpus
-    // five times. Both frames are TYPE-scale (vocabulary / bigram
-    // types), tiny next to the token stream they aggregate, so one
-    // materialization each collapses the query to its two inherent
-    // tokenize passes (unigrams, bigrams).
+    // between some copies — the r19 executed plan ran the tokenize
+    // three times and the count aggregates once per consumer
+    // (plans/r19/q_pmi_bigrams_before_exec.txt). Both frames are
+    // TYPE-scale (vocabulary / bigram types), tiny next to the token
+    // stream they aggregate, so one materialization each collapses the
+    // query to its two inherent tokenize passes (unigrams, bigrams).
+    // Same-session A/B at sf0.1: 1.27 -> 1.11 s, results ==.
     val uniCk = uni.localCheckpoint(true)
     val cab = bg.groupBy("a", "b").agg(count(lit(1)).as("cab"))
       .localCheckpoint(true)
@@ -105,12 +107,14 @@ object Text2 {
         explode(split(lower(col("text")), " ", -1)).as("w"))
       .filter(col("w") =!= "")
     // Eager localCheckpoint (r19): vocab fans out to the 1-row totals
-    // AND the lp projection, and column pruning breaks exchange reuse
-    // between the two copies — the r19 executed plan tokenized the
-    // corpus three times (two vocab copies + the probe side). The
-    // vocabulary is O(word types): materializing it once costs almost
-    // nothing and leaves the query its two inherent tokenize passes
-    // (vocabulary build, per-token probe).
+    // AND the lp projection — the r19 executed plan ran the vocabulary
+    // aggregate once per consumer over a shared token exchange
+    // (plans/r19/q_unigram_lm_before_exec.txt). The vocabulary is
+    // O(word types): materializing it once costs almost nothing, runs
+    // the aggregate once, and leaves the query its two inherent
+    // tokenize passes (vocabulary build, per-token probe). Local A/B
+    // is a wash at sf0.1; the saved aggregate is vocabulary-scale work
+    // per extra consumer at 100 TB.
     val vocab = toks.groupBy("w").agg(count(lit(1)).as("c"))
       .localCheckpoint(true)
     val tot = vocab.agg(sum(col("c")).as("n_total"),
