@@ -24,33 +24,35 @@ object Events2 {
 
   /** 3-stage funnel over any (user_id, event_type, ts) frame.
     *
-    * Each stage frame is eagerly checkpointed (r19): s/v/p fan out to
-    * the next stage's join AND their own 1-row count, and the planner
-    * re-ran each stage's scan+aggregate per consumer — the r19
-    * executed plan scanned the events table five times for three
-    * stage filters. Checkpointed, the events table is scanned once
-    * per stage (disjoint event_type slices — with type-clustered
-    * storage at 100 TB those pushed filters make the three passes read
-    * ~one log's worth of bytes), and the per-USER stage frames the
-    * checkpoints hold are bounded by the user population, never by
-    * event volume.
+    * `checkpointStages` records an r19 experiment that was MEASURED
+    * AND REJECTED for the gate: s/v/p each fan out to the next stage's
+    * join and their own 1-row count, so the planner re-runs each
+    * stage's scan+aggregate per consumer (five events scans for three
+    * stage filters in the executed plan) — but those re-scans are
+    * filtered, column-pruned reads of per-type slices, and the
+    * `FunnelAb` same-session A/B showed eager checkpoints LOSING at
+    * sf0.1 (0.63 vs 0.81 s) and a wash at the 100×-events stage
+    * (115 MB: 1.9 vs 2.0 s) — the three materialization jobs cost more
+    * than the recompute they avoid. The lazy shape stays the default;
+    * the flag stays so the probe (and a future genuinely scan-bound
+    * deployment) can flip it.
     */
-  def funnelOf(events: DataFrame, stages: Seq[String]): DataFrame = {
+  def funnelOf(events: DataFrame, stages: Seq[String],
+    checkpointStages: Boolean = false): DataFrame = {
     require(stages.length == 3, "funnelOf is the 3-stage form")
+    def stagePin(df: DataFrame): DataFrame =
+      if (checkpointStages) df.localCheckpoint(true) else df
     val ev = events
       .select(col("user_id"), col("event_type"),
         unix_timestamp(col("ts")).as("sec"))
-    val s = ev.filter(col("event_type") === stages(0))
-      .groupBy("user_id").agg(min(col("sec")).as("s_sec"))
-      .localCheckpoint(true)
-    val v = ev.filter(col("event_type") === stages(1))
+    val s = stagePin(ev.filter(col("event_type") === stages(0))
+      .groupBy("user_id").agg(min(col("sec")).as("s_sec")))
+    val v = stagePin(ev.filter(col("event_type") === stages(1))
       .join(s, "user_id").filter(col("sec") >= col("s_sec"))
-      .groupBy("user_id").agg(min(col("sec")).as("v_sec"))
-      .localCheckpoint(true)
-    val p = ev.filter(col("event_type") === stages(2))
+      .groupBy("user_id").agg(min(col("sec")).as("v_sec")))
+    val p = stagePin(ev.filter(col("event_type") === stages(2))
       .join(v, "user_id").filter(col("sec") >= col("v_sec"))
-      .groupBy("user_id").agg(min(col("sec")).as("p_sec"))
-      .localCheckpoint(true)
+      .groupBy("user_id").agg(min(col("sec")).as("p_sec")))
     s.agg(count(lit(1)).as("n_signup"))
       .crossJoin(v.agg(count(lit(1)).as("n_viewed")))
       .crossJoin(p.agg(count(lit(1)).as("n_converted")))
